@@ -1,0 +1,198 @@
+"""CLI entry point (reference `src/bcnf/__main__.py:5-96`).
+
+Subcommands:
+
+- ``train``  — build a model from a run config, train, save params+config
+  (reference `train`, `__main__.py:28-80`)
+- ``size``   — parameter count for a config (reference `size`, `__main__.py:82-92`)
+- ``generate`` — generate a dataset from a prior config (new; the reference
+  only generates implicitly inside the trainer)
+- ``sample`` — posterior sampling from a trained model (new)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(
+        description="TPU-native Ballistic Conditional Normalizing Flows (bcnf_tpu)"
+    )
+    subparsers = parser.add_subparsers(dest="command_name", required=True)
+
+    train_parser = subparsers.add_parser("train")
+    train_parser.add_argument("-c", "--config", type=str, required=True, help="Path to the run configuration file")
+    train_parser.add_argument("-o", "--output-dir", type=str, default=None, help="Directory to store the results")
+    train_parser.add_argument("-p", "--project", type=str, default="bcnf-test", help="Project name for metric sinks")
+    train_parser.add_argument("-f", "--force", action="store_true", help="Overwrite the output directory if it exists")
+    train_parser.add_argument("--wandb", action="store_true", help="Also log to Weights & Biases (requires wandb)")
+    train_parser.add_argument("--checkpoint-every", type=int, default=0, help="Checkpoint every N epochs (0 = off)")
+    train_parser.add_argument("--seed", type=int, default=None)
+
+    size_parser = subparsers.add_parser("size")
+    size_parser.add_argument("-c", "--config", type=str, required=True)
+
+    gen_parser = subparsers.add_parser("generate")
+    gen_parser.add_argument("-c", "--config", type=str, required=True, help="Prior (data) configuration file")
+    gen_parser.add_argument("-o", "--output", type=str, required=True, help="Output pickle path")
+    gen_parser.add_argument("-n", "--n-samples", type=int, default=1000)
+    gen_parser.add_argument("--output-type", type=str, default="trajectories",
+                            choices=["videos", "trajectories", "parameters"])
+    gen_parser.add_argument("--dt", type=float, default=1 / 30)
+    gen_parser.add_argument("-T", type=float, default=2.0)
+    gen_parser.add_argument("--no-filter", action="store_true")
+    gen_parser.add_argument("--break-on-impact", action="store_true")
+    gen_parser.add_argument("--renderer", type=str, default="mc", choices=["mc", "analytic"])
+    gen_parser.add_argument("--seed", type=int, default=None)
+
+    sample_parser = subparsers.add_parser("sample")
+    sample_parser.add_argument("-m", "--model-dir", type=str, required=True, help="Directory with params.pkl + config.json")
+    sample_parser.add_argument("-d", "--data", type=str, required=True, help="Dataset pickle with conditions")
+    sample_parser.add_argument("-n", "--n-samples", type=int, default=1000)
+    sample_parser.add_argument("-o", "--output", type=str, required=True, help="Output .npy path")
+    sample_parser.add_argument("--seed", type=int, default=0)
+
+    args = parser.parse_args(argv)
+
+    if args.command_name == "train":
+        _cmd_train(args)
+    elif args.command_name == "size":
+        _cmd_size(args)
+    elif args.command_name == "generate":
+        _cmd_generate(args)
+    elif args.command_name == "sample":
+        _cmd_sample(args)
+    else:
+        print("Unknown command:", args.command_name)
+        sys.exit(1)
+
+
+def _cmd_train(args: argparse.Namespace) -> None:
+    import pickle
+
+    import jax
+
+    from bcnf_tpu import CondRealNVP
+    from bcnf_tpu.config import load_config, sub_root_path
+    from bcnf_tpu.models import count_params
+    from bcnf_tpu.train import Trainer
+    from bcnf_tpu.train.history import JSONLSink, MultiSink, StdoutSink
+
+    model_name = os.path.splitext(os.path.basename(args.config))[0]
+    output_dir = args.output_dir or os.path.join("{{BCNF_ROOT}}", "models", "bcnf-models", model_name)
+    resolved = sub_root_path(output_dir)
+    os.makedirs(resolved, exist_ok=True)
+    if len(os.listdir(resolved)) > 0 and not args.force:
+        print(f"Output directory {resolved} already exists and is not empty. Use -f to overwrite.")
+        sys.exit(1)
+
+    print(f"Using devices: {jax.devices()}")
+    config = load_config(args.config)
+    model = CondRealNVP.from_config(config)
+    params = model.init(jax.random.key(args.seed if args.seed is not None else 0))
+    print(f"Loaded {model_name} with {count_params(params):,} parameters")
+
+    sinks = [StdoutSink(), JSONLSink(os.path.join(resolved, "metrics.jsonl"))]
+    if args.wandb:
+        from bcnf_tpu.train.history import WandbSink
+
+        sinks.append(WandbSink(args.project, model_name, config.to_dict()))
+
+    trainer = Trainer(
+        config={k.lower(): v for k, v in config.items()},
+        project_name=args.project,
+        run_name=model_name,
+        parameter_index_mapping=model.parameter_index_mapping,
+        hybrid_weight=config["global"].get("hybrid_weight", 0) or 0,
+        verbose=True,
+        sink=MultiSink(*sinks),
+        seed=args.seed,
+        checkpoint_dir=os.path.join(resolved, "ckpts") if args.checkpoint_every else None,
+        checkpoint_every=args.checkpoint_every,
+    )
+
+    try:
+        params = trainer.train(model, params)
+    except KeyboardInterrupt:
+        print("Training interrupted by user")
+
+    with open(os.path.join(resolved, "params.pkl"), "wb") as f:
+        pickle.dump(jax.device_get(params), f)
+    with open(os.path.join(resolved, "config.json"), "w") as f:
+        json.dump({"config_path": args.config}, f)
+    print(f"Model saved to {resolved}")
+
+
+def _cmd_size(args: argparse.Namespace) -> None:
+    import jax
+
+    from bcnf_tpu import CondRealNVP
+    from bcnf_tpu.config import load_config
+    from bcnf_tpu.models import count_params
+
+    config = load_config(args.config)
+    model = CondRealNVP.from_config(config)
+    params = jax.eval_shape(lambda k: model.init(k), jax.random.key(0))
+    total = sum(int(x.size) for x in jax.tree.leaves(params))
+    print(f"Model size: {total:,} parameters")
+
+
+def _cmd_generate(args: argparse.Namespace) -> None:
+    from bcnf_tpu.simulation.sampling import generate_data
+    from bcnf_tpu.utils.io import save_data
+
+    data = generate_data(
+        config_file=args.config,
+        n=args.n_samples,
+        output_type=args.output_type,
+        dt=args.dt,
+        T=args.T,
+        do_filter=not args.no_filter,
+        break_on_impact=args.break_on_impact,
+        renderer=args.renderer,
+        seed=args.seed,
+        verbose=True,
+    )
+    save_data(data, args.output)
+    print(f"Wrote {args.n_samples} samples to {args.output}")
+
+
+def _cmd_sample(args: argparse.Namespace) -> None:
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bcnf_tpu import CondRealNVP
+    from bcnf_tpu.config import load_config
+    from bcnf_tpu.train.data import TrainerDataHandler
+    from bcnf_tpu.utils.misc import get_data_type
+
+    with open(os.path.join(args.model_dir, "config.json")) as f:
+        config_path = json.load(f)["config_path"]
+    config = load_config(config_path)
+    model = CondRealNVP.from_config(config)
+    with open(os.path.join(args.model_dir, "params.pkl"), "rb") as f:
+        params = jax.tree.map(jnp.asarray, pickle.load(f))
+
+    cfg = {k.lower(): v for k, v in config.items()}
+    cfg["data"]["path"] = args.data
+    handler = TrainerDataHandler()
+    y, conditions = handler.get_data_for_training(
+        cfg, model.parameter_index_mapping, get_data_type(config["global"]["dtype"])
+    )
+    samples = model.sample(
+        params, jax.random.key(args.seed), args.n_samples,
+        *[jnp.asarray(c) for c in conditions],
+    )
+    np.save(args.output, np.asarray(samples))
+    print(f"Wrote posterior samples {samples.shape} to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

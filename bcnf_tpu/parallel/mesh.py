@@ -1,0 +1,90 @@
+"""Device mesh and sharding helpers — the multi-chip backbone.
+
+The reference is single-process/single-GPU with no distributed support
+(SURVEY.md section 5.8). This module adds the TPU-native data-parallel
+capability: one 1-D `Mesh(('data',))` spanning all chips (ICI within a slice,
+DCN across slices), parameters replicated, batch sharded. Gradients reduce as
+XLA `psum` over ICI automatically under `jit` with these shardings — identical
+code at 1 chip and N hosts. Degrades gracefully to a 1-device mesh on CPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    """Build a 1-D data-parallel mesh over (the first `n_devices`) devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_2d_mesh(dp: int, mp: int, axis_names: tuple[str, str] = ("data", "model")) -> Mesh:
+    """A (data, model) mesh for models large enough to need sharded params."""
+    devices = np.asarray(jax.devices()[: dp * mp]).reshape(dp, mp)
+    return Mesh(devices, axis_names)
+
+
+def batch_sharding(mesh: Mesh, ndim: int, axis_name: str = "data") -> NamedSharding:
+    """Shard axis 0 (batch) over the mesh; other axes replicated."""
+    return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh | None, tree: Any, axis_name: str = "data") -> Any:
+    """Device-put every leaf with its batch axis sharded over the mesh."""
+    if mesh is None:
+        return tree
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x), axis_name)), tree
+    )
+
+
+def replicate(mesh: Mesh | None, tree: Any) -> Any:
+    """Device-put every leaf fully replicated over the mesh."""
+    if mesh is None:
+        return tree
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_to_multiple(arrays: Sequence[np.ndarray], multiple: int) -> tuple[list[np.ndarray], int]:
+    """Pad batch axis 0 up to a multiple (for even sharding); returns pad count."""
+    n = len(arrays[0])
+    pad = (-n) % multiple
+    if pad == 0:
+        return list(arrays), 0
+    out = []
+    for a in arrays:
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        out.append(np.pad(a, widths))
+    return out, pad
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host initialization (`jax.distributed.initialize`); no-op for
+    single-process runs. Safe to call unconditionally from the CLI."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def is_host_zero() -> bool:
+    return jax.process_index() == 0

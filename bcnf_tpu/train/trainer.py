@@ -1,0 +1,362 @@
+"""The training runtime: jitted train/eval steps inside a host epoch loop.
+
+TPU-native redesign of reference `src/bcnf/train/trainer.py:20-303`:
+
+- one jit-compiled `train_step` (value_and_grad + clipped Adam update) with
+  donated params/optimizer state — no per-batch host<->device traffic; metrics
+  accumulate on device and are fetched once per epoch,
+- data stays in HBM (`DeviceDataset`); shuffling is a device-side
+  `jax.random.permutation` per epoch,
+- multi-chip data parallelism: pass a `Mesh` and batches are sharded over the
+  `data` axis with params replicated; XLA inserts the gradient psum over ICI,
+- identical control surface: validation split, rolling-window plateau early
+  stop, `ReduceLROnPlateau`, divergence detection (loss > 1e5 or NaN after
+  epoch 10, reference `trainer.py:168-169`), wall-clock timeout
+  (`trainer.py:236-238`), hybrid MSE-head objective with the reference's
+  `(nll + w*mse)/(1+w)` combination (`trainer.py:269`),
+- plus step-level checkpoint/resume, which the reference lacks entirely
+  (SURVEY.md section 5.4).
+
+Deliberate divergences (documented): gradient clip *before* the optimizer step
+(Q3), shuffled validation split (Q2), divergence check on the epoch-mean loss
+instead of per-batch (avoids a host sync every batch; same guard, reference
+checks per batch at `trainer.py:168`).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bcnf_tpu.config import ParameterIndexMapping
+from bcnf_tpu.errors import TrainingDivergedError
+from bcnf_tpu.train.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from bcnf_tpu.train.data import DeviceDataset, TrainerDataHandler
+from bcnf_tpu.train.history import MetricSink, StdoutSink, TrainerParameterHistoryHandler
+from bcnf_tpu.train.optim import (
+    ReduceLROnPlateau,
+    get_learning_rate,
+    make_optimizer,
+    set_learning_rate,
+)
+from bcnf_tpu.utils.misc import get_data_type, inn_nll_loss
+from bcnf_tpu.parallel.mesh import batch_sharding, replicate, shard_batch
+
+
+class Trainer:
+    """Reference `Trainer` (`src/bcnf/train/trainer.py:20`) with a jitted core."""
+
+    def __init__(
+        self,
+        config: dict,
+        project_name: str = "bcnf",
+        run_name: str = "run",
+        parameter_index_mapping: ParameterIndexMapping | None = None,
+        hybrid_weight: float = 0.0,
+        verbose: bool = False,
+        sink: MetricSink | None = None,
+        mesh: Any = None,
+        seed: int | None = None,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 0,
+        data: tuple[np.ndarray, list[np.ndarray]] | None = None,
+    ) -> None:
+        self.config = config
+        self.verbose = verbose
+        self.project_name = project_name
+        self.run_name = run_name
+        self.parameter_index_mapping = parameter_index_mapping
+        self.hybrid_weight = float(hybrid_weight or 0.0)
+        self.mesh = mesh
+        self.sink = sink if sink is not None else (StdoutSink() if verbose else None)
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+
+        training = config["training"]
+        self.seed = seed if seed is not None else int(training.get("random_state", 0) or 0)
+
+        self.meta_scheduler = TrainerParameterHistoryHandler(
+            val_loss_window_size=training["val_loss_window_size"],
+            val_loss_patience=training["val_loss_patience"],
+            val_loss_tolerance_mode=training["val_loss_tolerance_mode"],
+            val_loss_tolerance=training["val_loss_tolerance"],
+            sink=self.sink,
+        )
+
+        self.dtype = get_data_type(config["global"]["dtype"])
+        self.data_handler = TrainerDataHandler()
+        if data is not None:
+            self.data = data
+        else:
+            self.data = self.data_handler.get_data_for_training(
+                config=config,
+                dtype=self.dtype,
+                parameter_index_mapping=parameter_index_mapping,
+                verbose=verbose,
+                seed=self.seed,
+            )
+        self.loss_function = inn_nll_loss
+
+    # ------------------------------------------------------------------
+
+    def _build_steps(self, model: Any, optimizer: Any) -> tuple[Any, Any]:
+        hybrid_weight = self.hybrid_weight
+        n_cond = model.n_conditions
+
+        def loss_fn(params: Any, y: jnp.ndarray, conditions: tuple, rng: jax.Array) -> tuple:
+            if n_cond > 0:
+                z, log_det, h = model.forward(
+                    params, y, *conditions, rng=rng, train=True, return_features=True
+                )
+            else:
+                z, log_det = model.forward(params, y, rng=rng, train=True)
+                h = None
+            nll = self.loss_function(z, log_det)
+            if hybrid_weight > 0 and h is not None:
+                y_hat = model.predict_head(params, h)
+                mse = jnp.mean((y_hat - y) ** 2)
+            else:
+                mse = jnp.zeros(())
+            loss = (nll + mse * hybrid_weight) / (1 + hybrid_weight)
+            return loss, (nll, mse, jnp.mean(log_det))
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params: Any, opt_state: Any, y: jnp.ndarray, conditions: tuple, rng: jax.Array) -> tuple:
+            (loss, (nll, mse, ld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, y, conditions, rng
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = jnp.stack([loss, nll, mse, ld])
+            return params, opt_state, metrics
+
+        @jax.jit
+        def val_step(params: Any, y: jnp.ndarray, conditions: tuple) -> tuple:
+            if n_cond > 0:
+                z, log_det, h = model.forward(params, y, *conditions, return_features=True)
+            else:
+                z, log_det = model.forward(params, y)
+                h = None
+            nll = self.loss_function(z, log_det)
+            if hybrid_weight > 0 and h is not None:
+                y_hat = model.predict_head(params, h)
+                mse = jnp.mean((y_hat - y) ** 2)
+            else:
+                mse = jnp.zeros(())
+            loss = (nll + mse * hybrid_weight) / (1 + hybrid_weight)
+            metrics = jnp.stack([loss, nll, mse, jnp.mean(log_det)])
+            return metrics, z.mean(axis=0), z.std(axis=0)
+
+        return train_step, val_step
+
+    # ------------------------------------------------------------------
+
+    def train(self, model: Any, params: Any = None, fold: int = -1) -> Any:
+        """Train `model`, returning the trained parameter pytree
+        (reference `Trainer.train`, `src/bcnf/train/trainer.py:50-111`)."""
+        cfg_t = self.config["training"]
+        opt_cfg = self.config["optimizer"]
+        opt_kwargs = dict(opt_cfg.get("kwargs", {}))
+        optimizer = make_optimizer(opt_cfg.get("type", "Adam"), **opt_kwargs)
+
+        sch_cfg = self.config["lr_scheduler"]
+        sk = dict(sch_cfg.get("kwargs", {}))
+        scheduler = ReduceLROnPlateau(
+            mode=sk.get("mode", "min"),
+            factor=sk.get("factor", 0.1),
+            patience=sk.get("patience", 10),
+            threshold=sk.get("threshold", 1e-4),
+            threshold_mode=sk.get("threshold_mode", "rel"),
+        )
+
+        y, conditions = self.data
+        (y_tr, c_tr), (y_val, c_val) = self.data_handler.split_dataset(
+            y, conditions, cfg_t["validation_split"], seed=self.seed
+        )
+        data_sharding = None
+        if self.mesh is not None:
+            data_sharding = batch_sharding(self.mesh, 1)
+        train_set = DeviceDataset(y_tr, c_tr, None)
+        val_set = DeviceDataset(y_val, c_val, None)
+
+        key = jax.random.key(self.seed)
+        if params is None:
+            key, init_key = jax.random.split(key)
+            params = model.init(init_key)
+        params = replicate(self.mesh, params)
+        opt_state = replicate(self.mesh, optimizer.init(params))
+
+        train_step, val_step = self._build_steps(model, optimizer)
+
+        start_epoch = 0
+        if self.checkpoint_dir:
+            ckpt_path = latest_checkpoint(self.checkpoint_dir)
+            if ckpt_path:
+                state = load_checkpoint(ckpt_path)
+                params = replicate(self.mesh, jax.tree.map(jnp.asarray, state["params"]))
+                opt_state = replicate(self.mesh, jax.tree.map(jnp.asarray, state["opt_state"]))
+                scheduler.load_state_dict(state["scheduler"])
+                start_epoch = state["epoch"] + 1
+                key = jax.random.wrap_key_data(jnp.asarray(state["key"]))
+                if self.verbose:
+                    print(f"Resumed from {ckpt_path} at epoch {start_epoch}")
+
+        self.meta_scheduler = TrainerParameterHistoryHandler(
+            val_loss_window_size=cfg_t["val_loss_window_size"],
+            val_loss_patience=cfg_t["val_loss_patience"],
+            val_loss_tolerance_mode=cfg_t["val_loss_tolerance_mode"],
+            val_loss_tolerance=cfg_t["val_loss_tolerance"],
+            fold=fold,
+            sink=self.sink,
+        )
+        ms = self.meta_scheduler
+
+        batch_size = cfg_t["batch_size"]
+        timeout = cfg_t.get("timeout")
+        n_epochs = cfg_t["n_epochs"]
+        start_time = time.time()
+        step = 0
+
+        for epoch in range(start_epoch, n_epochs):
+            ms.update_epoch(epoch)
+
+            # ---- training pass
+            key, shuffle_key = jax.random.split(key)
+            train_metrics = []
+            for by, bc in train_set.batches(batch_size, shuffle_key, drop_remainder=True):
+                if self.mesh is not None:
+                    by, bc = shard_batch(self.mesh, (by, tuple(bc)))
+                step_key = jax.random.fold_in(key, step)
+                params, opt_state, metrics = train_step(params, opt_state, by, tuple(bc), step_key)
+                train_metrics.append(metrics)
+                step += 1
+            tm = np.mean(jax.device_get(jnp.stack(train_metrics)), axis=0)
+            train_loss, train_nll, train_mse = float(tm[0]), float(tm[1]), float(tm[2])
+
+            if (train_loss > 1e5 or np.isnan(train_loss)) and epoch > 10:
+                raise TrainingDivergedError(
+                    f"Loss exploded to {train_loss} at epoch {epoch}"
+                )
+
+            # ---- validation pass
+            val_metrics, z_means, z_stds = [], [], []
+            for by, bc in val_set.batches(batch_size, drop_remainder=False):
+                if self.mesh is not None:
+                    by, bc = shard_batch(self.mesh, (by, tuple(bc)))
+                metrics, z_mean, z_std = val_step(params, by, tuple(bc))
+                val_metrics.append(metrics)
+                z_means.append(z_mean)
+                z_stds.append(z_std)
+            vm = np.mean(jax.device_get(jnp.stack(val_metrics)), axis=0)
+            val_loss, val_nll, val_mse, val_ld = (float(v) for v in vm)
+            z_mean = np.mean(jax.device_get(jnp.stack(z_means)), axis=0)
+            z_std = np.mean(jax.device_get(jnp.stack(z_stds)), axis=0)
+
+            ms.update_rolling_validation_loss(val_loss)
+
+            lr = get_learning_rate(opt_state)
+            ms.log("train_loss", train_loss)
+            ms.log("train_loss_mse", train_mse)
+            ms.log("train_loss_nll", train_nll)
+            ms.log("val_loss", val_loss)
+            ms.log("val_loss_mse", val_mse)
+            ms.log("val_loss_nll", val_nll)
+            ms.log("lr", lr)
+            ms.log("distance_to_last_best_val_loss", epoch - ms.best_val_epoch)
+            ms.log("time", time.time())
+            ms.log("z_mean_mean", float(z_mean.mean()))
+            ms.log("z_mean_std", float(z_mean.std()))
+            ms.log("z_std_mean", float(z_std.mean()))
+            ms.log("z_std_std", float(z_std.std()))
+            ms.log("log_det_J", val_ld)
+
+            new_lr = scheduler.step(ms.val_loss_rolling_avg, lr)
+            if new_lr != lr:
+                opt_state = set_learning_rate(opt_state, new_lr)
+
+            ms.update_best_loss()
+
+            if self.checkpoint_every and self.checkpoint_dir and (epoch + 1) % self.checkpoint_every == 0:
+                save_checkpoint(
+                    f"{self.checkpoint_dir}/ckpt_{epoch}.pkl",
+                    {
+                        "params": params,
+                        "opt_state": opt_state,
+                        "scheduler": scheduler.state_dict(),
+                        "epoch": epoch,
+                        "key": jax.random.key_data(key),
+                    },
+                    metadata={"run_name": self.run_name, "epoch": epoch, "val_loss": val_loss},
+                )
+
+            if ms.patience_exceeded:
+                ms.parameter_history["stop_reason"] = "val_loss_plateau"
+                return params
+            if timeout is not None and time.time() - start_time > timeout:
+                ms.parameter_history["stop_reason"] = "timeout"
+                return params
+
+        ms.parameter_history["stop_reason"] = "max_epochs"
+        return params
+
+
+def train_CondRealNVP(
+    model: Any,
+    params: Any,
+    y_train: np.ndarray,
+    conditions_train: Sequence[np.ndarray],
+    y_val: np.ndarray,
+    conditions_val: Sequence[np.ndarray],
+    n_epochs: int = 1,
+    batch_size: int = 64,
+    lr: float = 1e-3,
+    val_loss_patience: int | None = None,
+    val_loss_tolerance: float = 1e-3,
+    val_loss_tolerance_mode: str = "rel",
+    timeout: float | None = None,
+    verbose: bool = False,
+    seed: int = 0,
+) -> tuple[Any, dict]:
+    """Functional training API (reference `train_CondRealNVP`,
+    `src/bcnf/train/train.py:19-219`) used by cross-validation; returns
+    `(params, loss_history)`."""
+    config = {
+        "global": {"dtype": "float32"},
+        "training": {
+            "validation_split": 0.0,
+            "val_loss_window_size": 1,
+            "val_loss_patience": val_loss_patience,
+            "val_loss_tolerance": val_loss_tolerance,
+            "val_loss_tolerance_mode": val_loss_tolerance_mode,
+            "batch_size": batch_size,
+            "n_epochs": n_epochs,
+            "timeout": timeout,
+            "random_state": seed,
+        },
+        "optimizer": {"type": "Adam", "kwargs": {"lr": lr}},
+        "lr_scheduler": {"type": "ReduceLROnPlateau", "kwargs": {"patience": max(n_epochs, 1)}},
+    }
+    trainer = Trainer(
+        config,
+        verbose=verbose,
+        data=(y_train, list(conditions_train)),
+        seed=seed,
+    )
+    # override the split: use the provided train/val sets directly
+    trainer.data_handler = TrainerDataHandler()
+    trainer.data_handler.split_dataset = (  # type: ignore[method-assign]
+        lambda y, c, ratio, seed=0: ((y_train, list(conditions_train)), (y_val, list(conditions_val)))
+    )
+    params = trainer.train(model, params)
+    history = {
+        "train": [v for _, v in trainer.meta_scheduler.parameter_history.get("train_loss", [])],
+        "val": [v for _, v in trainer.meta_scheduler.parameter_history.get("val_loss", [])],
+        "stop_reason": trainer.meta_scheduler.parameter_history.get("stop_reason"),
+    }
+    return params, history

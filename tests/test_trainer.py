@@ -1,0 +1,152 @@
+"""Trainer runtime tests: end-to-end training decreases NLL, early stop,
+divergence, checkpoint/resume, LR plateau scheduler."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from bcnf_tpu.models import (
+    ConcatenateCondition,
+    CondRealNVP,
+    FeatureNetworkStack,
+    FullyConnectedFeatureNetwork,
+)
+from bcnf_tpu.train import ReduceLROnPlateau, Trainer
+from bcnf_tpu.train.optim import get_learning_rate, make_optimizer, set_learning_rate
+
+
+def _toy_data(n=256, seed=0):
+    """theta in R^3 linearly related to a 4-d condition + noise."""
+    rng = np.random.default_rng(seed)
+    cond = rng.normal(size=(n, 4)).astype(np.float32)
+    W = rng.normal(size=(4, 3)).astype(np.float32)
+    y = cond @ W + 0.1 * rng.normal(size=(n, 3)).astype(np.float32)
+    return y, [cond]
+
+
+def _toy_model():
+    stack = FeatureNetworkStack(
+        [
+            ConcatenateCondition(input_size=None, output_size=4),
+            FullyConnectedFeatureNetwork(sizes=[4, 16, 8]),
+        ]
+    )
+    return CondRealNVP(
+        size=3, nested_sizes=[24], n_blocks=3, n_conditions=8,
+        feature_network_stack=stack, act_norm=True, random_state=0,
+    )
+
+
+def _config(n_epochs=30, **overrides):
+    cfg = {
+        "global": {"dtype": "float32"},
+        "training": {
+            "validation_split": 0.25,
+            "val_loss_window_size": 4,
+            "val_loss_patience": 1000,
+            "val_loss_tolerance": 1e-2,
+            "val_loss_tolerance_mode": "abs",
+            "batch_size": 64,
+            "n_epochs": n_epochs,
+            "timeout": None,
+            "random_state": 0,
+        },
+        "optimizer": {"type": "Adam", "kwargs": {"lr": 5e-3}},
+        "lr_scheduler": {
+            "type": "ReduceLROnPlateau",
+            "kwargs": {"mode": "min", "factor": 0.5, "patience": 100, "threshold_mode": "abs", "threshold": 1e-1},
+        },
+    }
+    cfg["training"].update(overrides)
+    return cfg
+
+
+def test_training_reduces_loss():
+    model = _toy_model()
+    trainer = Trainer(_config(), data=_toy_data(), verbose=False)
+    params = trainer.train(model)
+    hist = trainer.meta_scheduler.parameter_history
+    val = [v for _, v in hist["val_loss"]]
+    assert val[-1] < val[0] - 0.5, f"val loss did not improve: {val[0]} -> {val[-1]}"
+    assert hist["stop_reason"] == "max_epochs"
+    assert np.all([np.isfinite(x).all() for x in jax.tree.leaves(params)])
+
+
+def test_early_stop_plateau():
+    model = _toy_model()
+    trainer = Trainer(
+        _config(n_epochs=500, val_loss_patience=3, val_loss_tolerance=100.0),
+        data=_toy_data(),
+    )
+    trainer.train(model)
+    # huge tolerance -> best never improves -> stop after patience epochs
+    assert trainer.meta_scheduler.parameter_history["stop_reason"] == "val_loss_plateau"
+
+
+def test_timeout_stop():
+    model = _toy_model()
+    trainer = Trainer(_config(n_epochs=100000, timeout=1e-6), data=_toy_data())
+    trainer.train(model)
+    assert trainer.meta_scheduler.parameter_history["stop_reason"] == "timeout"
+
+
+def test_checkpoint_resume(tmp_path):
+    model = _toy_model()
+    ckpt = str(tmp_path / "ckpts")
+    trainer = Trainer(
+        _config(n_epochs=4), data=_toy_data(),
+        checkpoint_dir=ckpt, checkpoint_every=2,
+    )
+    trainer.train(model)
+    assert os.path.exists(os.path.join(ckpt, "ckpt_3.pkl"))
+
+    # resume continues from epoch 4
+    trainer2 = Trainer(
+        _config(n_epochs=6), data=_toy_data(),
+        checkpoint_dir=ckpt, checkpoint_every=2,
+    )
+    trainer2.train(model)
+    epochs = [e for e, _ in trainer2.meta_scheduler.parameter_history["val_loss"]]
+    assert min(epochs) == 5  # first logged epoch after resume is epoch index 4 (+1)
+
+
+def test_reduce_lr_on_plateau_semantics():
+    sch = ReduceLROnPlateau(mode="min", factor=0.5, patience=2, threshold_mode="abs", threshold=0.1)
+    lr = 1.0
+    lr = sch.step(10.0, lr)  # best=10
+    assert lr == 1.0
+    for _ in range(2):
+        lr = sch.step(10.0, lr)  # no improvement, bad epochs 1..2
+    assert lr == 1.0
+    lr = sch.step(10.0, lr)  # bad epochs 3 > patience -> reduce
+    assert lr == 0.5
+    lr = sch.step(5.0, lr)  # improvement resets
+    assert lr == 0.5
+
+
+def test_lr_injection_roundtrip():
+    opt = make_optimizer("Adam", lr=1e-3)
+    params = {"w": np.zeros(3, dtype=np.float32)}
+    state = opt.init(params)
+    assert abs(get_learning_rate(state) - 1e-3) < 1e-9
+    state = set_learning_rate(state, 5e-4)
+    assert abs(get_learning_rate(state) - 5e-4) < 1e-9
+
+
+def test_hybrid_training_runs():
+    stack = FeatureNetworkStack(
+        [
+            ConcatenateCondition(input_size=None, output_size=4),
+            FullyConnectedFeatureNetwork(sizes=[4, 16, 8]),
+        ]
+    )
+    model = CondRealNVP(
+        size=3, nested_sizes=[16], n_blocks=2, n_conditions=8,
+        feature_network_stack=stack, hybrid=True, random_state=0,
+    )
+    trainer = Trainer(_config(n_epochs=3), data=_toy_data(), hybrid_weight=1.0)
+    trainer.train(model)
+    hist = trainer.meta_scheduler.parameter_history
+    assert all(v > 0 for _, v in hist["train_loss_mse"])  # MSE head active
