@@ -451,6 +451,7 @@ class CondRealNVP:
         hybrid: bool = False,
         coupling: str = "affine",
         coupling_kwargs: dict | None = None,
+        precision: str = "highest",
     ) -> None:
         self.size = size
         self.nested_sizes = list(nested_sizes)
@@ -463,6 +464,11 @@ class CondRealNVP:
         self.random_state = random_state
         self.parameter_index_mapping = parameter_index_mapping
         self.hybrid = hybrid
+        # Matmul precision for the whole model. TPU MXU matmuls default to
+        # bf16 inputs (~1e-2 relative error), which visibly breaks flow
+        # invertibility (inverse(forward(y)) != y at 1e-2) — "highest" forces
+        # f32 accumulation. Set "default" to trade fidelity for MXU speed.
+        self.precision = precision
 
         common = dict(
             input_size=size,
@@ -572,7 +578,8 @@ class CondRealNVP:
         """Run the feature-network stack once (reference `cnf.py:467-473`)."""
         if self.features is None:
             raise ValueError("Model has no conditions")
-        return self.features.apply(params["features"], *conditions, rng=rng, train=train)
+        with jax.default_matmul_precision(self.precision):
+            return self.features.apply(params["features"], *conditions, rng=rng, train=train)
 
     # -- scan machinery ---------------------------------------------------
 
@@ -605,32 +612,33 @@ class CondRealNVP:
         r_feat, r_blocks, r_final, _ = self._rngs(rng)
         h = self.encode(params, conditions, r_feat, train) if self.features is not None else None
 
-        log_det = jnp.zeros(y.shape[:-1])
-        blocks, projs = self._block_xs(params, h)
-        if blocks is not None:
-            n_inner = self.n_blocks - 1
-            block_rngs = jax.random.split(r_blocks, n_inner)
+        with jax.default_matmul_precision(self.precision):
+            log_det = jnp.zeros(y.shape[:-1])
+            blocks, projs = self._block_xs(params, h)
+            if blocks is not None:
+                n_inner = self.n_blocks - 1
+                block_rngs = jax.random.split(r_blocks, n_inner)
 
-            def body(carry: tuple, xs: tuple) -> tuple[tuple, None]:
-                yy, ld = carry
-                blk, proj, brng = xs
-                if self.actnorm is not None:
-                    yy, ld_an = self.actnorm.forward(blk["actnorm"], yy)
-                    ld = ld + ld_an
-                yy, ld_c = self.coupling.forward(
-                    blk["coupling"], yy, h, proj, brng if train else None, train
-                )
-                ld = ld + ld_c
-                yy = yy @ blk["ortho"]
-                return (yy, ld), None
+                def body(carry: tuple, xs: tuple) -> tuple[tuple, None]:
+                    yy, ld = carry
+                    blk, proj, brng = xs
+                    if self.actnorm is not None:
+                        yy, ld_an = self.actnorm.forward(blk["actnorm"], yy)
+                        ld = ld + ld_an
+                    yy, ld_c = self.coupling.forward(
+                        blk["coupling"], yy, h, proj, brng if train else None, train
+                    )
+                    ld = ld + ld_c
+                    yy = yy @ blk["ortho"]
+                    return (yy, ld), None
 
-            (y, log_det), _ = jax.lax.scan(body, (y, log_det), (blocks, projs, block_rngs))
+                (y, log_det), _ = jax.lax.scan(body, (y, log_det), (blocks, projs, block_rngs))
 
-        final_proj = self.coupling.cond_proj(params["final"], h) if h is not None else None
-        y, ld_f = self.coupling.forward(
-            params["final"], y, h, final_proj, r_final if train else None, train
-        )
-        log_det = log_det + ld_f
+            final_proj = self.coupling.cond_proj(params["final"], h) if h is not None else None
+            y, ld_f = self.coupling.forward(
+                params["final"], y, h, final_proj, r_final if train else None, train
+            )
+            log_det = log_det + ld_f
 
         if return_features:
             return y, log_det, h
@@ -661,31 +669,32 @@ class CondRealNVP:
         conditions once and reuse across many z draws (posterior sampling)."""
         _, r_blocks, r_final, _ = self._rngs(rng)
 
-        final_proj = self.coupling.cond_proj(params["final"], h) if h is not None else None
-        z = self.coupling.inverse(
-            params["final"], z, h, final_proj, r_final if train else None, train
-        )
+        with jax.default_matmul_precision(self.precision):
+            final_proj = self.coupling.cond_proj(params["final"], h) if h is not None else None
+            z = self.coupling.inverse(
+                params["final"], z, h, final_proj, r_final if train else None, train
+            )
 
-        blocks, projs = self._block_xs(params, h)
-        if blocks is not None:
-            n_inner = self.n_blocks - 1
-            flip = lambda tree: jax.tree.map(lambda x: jnp.flip(x, axis=0), tree)
-            blocks_r = flip(blocks)
-            projs_r = flip(projs) if projs is not None else None
-            block_rngs = jax.random.split(r_blocks, n_inner)[::-1]
+            blocks, projs = self._block_xs(params, h)
+            if blocks is not None:
+                n_inner = self.n_blocks - 1
+                flip = lambda tree: jax.tree.map(lambda x: jnp.flip(x, axis=0), tree)
+                blocks_r = flip(blocks)
+                projs_r = flip(projs) if projs is not None else None
+                block_rngs = jax.random.split(r_blocks, n_inner)[::-1]
 
-            def body(carry: jnp.ndarray, xs: tuple) -> tuple[jnp.ndarray, None]:
-                zz = carry
-                blk, proj, brng = xs
-                zz = zz @ blk["ortho"].T
-                zz = self.coupling.inverse(
-                    blk["coupling"], zz, h, proj, brng if train else None, train
-                )
-                if self.actnorm is not None:
-                    zz = self.actnorm.inverse(blk["actnorm"], zz)
-                return zz, None
+                def body(carry: jnp.ndarray, xs: tuple) -> tuple[jnp.ndarray, None]:
+                    zz = carry
+                    blk, proj, brng = xs
+                    zz = zz @ blk["ortho"].T
+                    zz = self.coupling.inverse(
+                        blk["coupling"], zz, h, proj, brng if train else None, train
+                    )
+                    if self.actnorm is not None:
+                        zz = self.actnorm.inverse(blk["actnorm"], zz)
+                    return zz, None
 
-            z, _ = jax.lax.scan(body, z, (blocks_r, projs_r, block_rngs))
+                z, _ = jax.lax.scan(body, z, (blocks_r, projs_r, block_rngs))
         return z
 
     # -- probabilistic API -------------------------------------------------

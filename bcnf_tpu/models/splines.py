@@ -13,6 +13,8 @@ the inverse solves the quadratic in closed form
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -53,7 +55,7 @@ def rational_quadratic_spline(
 
     # Pad boundary derivatives with the value whose softplus is exactly 1
     # (identity slope at the tails).
-    constant = float(jnp.log(jnp.expm1(1.0 - min_derivative)))
+    constant = math.log(math.expm1(1.0 - min_derivative))
     pad = jnp.full(unnormalized_derivatives.shape[:-1] + (1,), constant,
                    dtype=unnormalized_derivatives.dtype)
     unnormalized_derivatives = jnp.concatenate([pad, unnormalized_derivatives, pad], axis=-1)

@@ -14,11 +14,14 @@ from bcnf_tpu.train.optim import (
     make_optimizer,
     set_learning_rate,
 )
+from bcnf_tpu.train.online import OnlineSimulator, train_online
 from bcnf_tpu.train.trainer import Trainer, train_CondRealNVP
 
 __all__ = [
     "Trainer",
     "train_CondRealNVP",
+    "OnlineSimulator",
+    "train_online",
     "TrainerDataHandler",
     "DeviceDataset",
     "TrainerParameterHistoryHandler",

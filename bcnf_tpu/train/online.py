@@ -1,0 +1,206 @@
+"""On-device "infinite data" training: fresh simulated batches every step.
+
+The reference trains on a frozen 5k-sample pickle (reference
+`src/bcnf/train/trainer_data_handler.py:49-73`) because its CPU rejection
+sampler takes minutes-to-hours per dataset. On TPU the whole pipeline
+(prior -> integrate -> filter -> condition assembly) is one jit program, so
+the trainer can draw a *new* batch from the prior every step — the infinite
+data regime (SURVEY.md section 7.1): no train/val gap by construction, no
+host dataloader, training never leaves HBM.
+
+Rejection under jit uses oversample-and-compact: draw `ceil(batch * k)`
+candidates, compute the acceptance mask branch-free, and gather the first
+`batch` accepted rows (stable argsort of the rejection mask); if acceptance
+undershoots, accepted rows repeat — harmless for SGD. Per-chip independence
+for data parallelism comes from folding the device index into the key.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bcnf_tpu.config import PARAMETER_ALIASES, ParameterIndexMapping
+from bcnf_tpu.simulation.physics import n_steps_for, simulate_trajectory
+from bcnf_tpu.simulation.priors import HashableConfig, sample_ballistic_parameters
+from bcnf_tpu.train.history import MetricSink
+from bcnf_tpu.utils.misc import inn_nll_loss
+
+
+class OnlineSimulator:
+    """A jit-compiled (y, conditions) batch source drawn from the prior."""
+
+    def __init__(
+        self,
+        prior_config: dict,
+        parameter_index_mapping: ParameterIndexMapping,
+        condition_groups: Sequence[Sequence[str]] = (("trajectories",),),
+        dt: float = 0.067,
+        T: float = 2.0,
+        num_cams: int = 2,
+        break_on_impact: bool = False,
+        filter_runaway: bool = True,
+        oversample: float = 1.25,
+        n_substeps: int = 4,
+    ) -> None:
+        self.prior = HashableConfig(
+            prior_config.to_dict() if hasattr(prior_config, "to_dict") else prior_config
+        )
+        self.mapping = parameter_index_mapping
+        self.condition_groups = tuple(tuple(g) for g in condition_groups)
+        self.dt = float(dt)
+        self.T = float(T)
+        self.num_cams = num_cams
+        self.break_on_impact = break_on_impact
+        self.filter_runaway = filter_runaway
+        self.oversample = oversample
+        self.n_substeps = n_substeps
+        self.n_steps = n_steps_for(T, dt)
+
+    def _vectorize(self, p: dict[str, jnp.ndarray]) -> jnp.ndarray:
+        cols = []
+        for name in self.mapping.parameters:
+            key = name if name in p else next(
+                (a for a in PARAMETER_ALIASES.get(name, ()) if a in p), None
+            )
+            if key is None:
+                raise KeyError(f"Parameter {name} not produced by the simulator")
+            cols.append(p[key])
+        return jnp.stack(cols, axis=-1)
+
+    @partial(jax.jit, static_argnames=("self", "batch"))
+    def sample_batch(self, key: jax.Array, batch: int) -> tuple[jnp.ndarray, tuple]:
+        """Draw an accepted batch: returns `(y (B, D), conditions)`."""
+        n_raw = math.ceil(batch * self.oversample)
+        p = sample_ballistic_parameters(key, n_raw, self.prior.data, self.num_cams)
+
+        x0 = jnp.stack([p["x0_x"], p["x0_y"], p["x0_z"]], axis=-1)
+        v0 = jnp.stack([p["v0_x"], p["v0_y"], p["v0_z"]], axis=-1)
+        g = jnp.stack([p["g_x"], p["g_y"], p["g_z"]], axis=-1)
+        w = jnp.stack([p["w_x"], p["w_y"], p["w_z"]], axis=-1)
+        a = jnp.stack([p["a_x"], p["a_y"], p["a_z"]], axis=-1)
+        traj = simulate_trajectory(
+            x0, v0, g, w, p["b"], p["m"], p["rho"], p["r"], a,
+            n_steps=self.n_steps, dt=self.dt,
+            break_on_impact=self.break_on_impact, n_substeps=self.n_substeps,
+        )
+
+        accept = jnp.isfinite(traj).all(axis=(1, 2))
+        if self.filter_runaway:
+            accept &= ~(p["g_z"] + p["a_z"] > 0)  # reference `sampling.py:320`
+            accept &= ~(p["x0_z"] < 0)  # reference `sampling.py:332`
+        # compact: indices of accepted rows first (stable), take `batch`
+        order = jnp.argsort(~accept, stable=True)
+        idx = order[:batch]
+
+        p = {k: v[idx] for k, v in p.items()}
+        traj = traj[idx]
+        y = self._vectorize(p)
+
+        conditions = []
+        data = dict(p)
+        data["trajectories"] = traj
+        for group in self.condition_groups:
+            vals = []
+            for c in group:
+                v = data[c]
+                if v.ndim == 1:
+                    v = v[:, None]
+                vals.append(v)
+            conditions.append(jnp.concatenate(vals, axis=1) if len(vals) > 1 else vals[0])
+        return y, tuple(conditions)
+
+    def __hash__(self) -> int:
+        return hash((self.prior, tuple(self.mapping.parameters), self.condition_groups,
+                     self.dt, self.T, self.num_cams, self.break_on_impact,
+                     self.filter_runaway, self.oversample, self.n_substeps))
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, OnlineSimulator) and hash(self) == hash(other)
+
+
+def train_online(
+    model: Any,
+    params: Any,
+    simulator: OnlineSimulator,
+    n_steps: int = 1000,
+    batch_size: int = 256,
+    lr: float = 2e-4,
+    max_grad_norm: float = 1.0,
+    eval_every: int = 100,
+    eval_batches: int = 4,
+    hybrid_weight: float = 0.0,
+    seed: int = 0,
+    sink: MetricSink | None = None,
+    timeout: float | None = None,
+    loss_fn: Callable | None = None,
+) -> tuple[Any, dict]:
+    """Step-based training loop over fresh simulated batches.
+
+    The data-generation program and the train step fuse into one dispatch
+    pipeline; evaluation draws held-out fresh batches (infinite data: the
+    "validation set" is just more simulation).
+    """
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm), optax.adam(lr)
+    )
+    opt_state = optimizer.init(params)
+    loss_fn = loss_fn or inn_nll_loss
+    n_cond = model.n_conditions
+
+    def objective(params: Any, y: jnp.ndarray, conditions: tuple, rng: jax.Array) -> tuple:
+        if n_cond > 0:
+            z, log_det, h = model.forward(params, y, *conditions, rng=rng, train=True, return_features=True)
+        else:
+            z, log_det = model.forward(params, y, rng=rng, train=True)
+            h = None
+        nll = loss_fn(z, log_det)
+        mse = jnp.zeros(())
+        if hybrid_weight > 0 and h is not None:
+            mse = jnp.mean((model.predict_head(params, h) - y) ** 2)
+        return (nll + mse * hybrid_weight) / (1 + hybrid_weight), (nll, mse)
+
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def step_fn(key: jax.Array, params: Any, opt_state: Any) -> tuple:
+        k_data, k_drop = jax.random.split(key)
+        y, conditions = simulator.sample_batch(k_data, batch_size)
+        (loss, (nll, mse)), grads = jax.value_and_grad(objective, has_aux=True)(
+            params, y, conditions, k_drop
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, jnp.stack([loss, nll, mse])
+
+    @jax.jit
+    def eval_fn(key: jax.Array, params: Any) -> jnp.ndarray:
+        y, conditions = simulator.sample_batch(key, batch_size)
+        z, log_det = model.forward(params, y, *conditions) if n_cond > 0 else model.forward(params, y)
+        return loss_fn(z, log_det)
+
+    key = jax.random.key(seed)
+    history: dict[str, list] = {"train_loss": [], "eval_nll": []}
+    start = time.time()
+    for step in range(n_steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = step_fn(sub, params, opt_state)
+        if (step + 1) % eval_every == 0 or step == n_steps - 1:
+            m = jax.device_get(metrics)
+            evals = []
+            for i in range(eval_batches):
+                evals.append(float(eval_fn(jax.random.fold_in(jax.random.key(seed + 1), step * eval_batches + i), params)))
+            eval_nll = sum(evals) / len(evals)
+            history["train_loss"].append((step + 1, float(m[0])))
+            history["eval_nll"].append((step + 1, eval_nll))
+            if sink is not None:
+                sink.log({"train_loss": float(m[0]), "eval_nll": eval_nll}, step + 1)
+        if timeout is not None and time.time() - start > timeout:
+            history["stop_reason"] = "timeout"
+            return params, history
+    history["stop_reason"] = "max_steps"
+    return params, history
