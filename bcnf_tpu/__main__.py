@@ -49,6 +49,18 @@ def main(argv: list[str] | None = None) -> None:
     gen_parser.add_argument("--renderer", type=str, default="mc", choices=["mc", "analytic"])
     gen_parser.add_argument("--seed", type=int, default=None)
 
+    eval_parser = subparsers.add_parser("eval")
+    eval_parser.add_argument("-m", "--model-dir", type=str, required=True, help="Directory with params.pkl + config.json")
+    eval_parser.add_argument("-d", "--data", type=str, required=True, help="Test dataset pickle")
+    eval_parser.add_argument("-o", "--output-dir", type=str, required=True, help="Report output directory")
+    eval_parser.add_argument("-M", "--m-samples", type=int, default=10_000,
+                             help="Posterior samples per test point (reference calibration protocol)")
+    eval_parser.add_argument("--resim-samples", type=int, default=1000,
+                             help="Posterior samples per trajectory for resimulation")
+    eval_parser.add_argument("--max-points", type=int, default=200, help="Test points to evaluate")
+    eval_parser.add_argument("--skip-resim", action="store_true")
+    eval_parser.add_argument("--seed", type=int, default=0)
+
     sample_parser = subparsers.add_parser("sample")
     sample_parser.add_argument("-m", "--model-dir", type=str, required=True, help="Directory with params.pkl + config.json")
     sample_parser.add_argument("-d", "--data", type=str, required=True, help="Dataset pickle with conditions")
@@ -66,6 +78,8 @@ def main(argv: list[str] | None = None) -> None:
         _cmd_generate(args)
     elif args.command_name == "sample":
         _cmd_sample(args)
+    elif args.command_name == "eval":
+        _cmd_eval(args)
     else:
         print("Unknown command:", args.command_name)
         sys.exit(1)
@@ -192,6 +206,107 @@ def _cmd_sample(args: argparse.Namespace) -> None:
     )
     np.save(args.output, np.asarray(samples))
     print(f"Wrote posterior samples {samples.shape} to {args.output}")
+
+
+def _cmd_eval(args: argparse.Namespace) -> None:
+    """Full evaluation report: test NLL, calibration, resimulation
+    (the reference's `notebooks/calibration.ipynb` + `resimulation.ipynb`
+    protocols as a CLI command)."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bcnf_tpu import CondRealNVP
+    from bcnf_tpu.config import load_config
+    from bcnf_tpu.eval.calibration import compute_CDF_residuals, compute_y_hat_ranks
+    from bcnf_tpu.plots import plot_cdf_residuals, plot_rank_histograms, plot_resimulation
+    from bcnf_tpu.simulation.resimulation import impact_points, resimulate
+    from bcnf_tpu.train.data import TrainerDataHandler
+    from bcnf_tpu.utils.io import load_data
+    from bcnf_tpu.utils.misc import get_data_type, inn_nll_loss
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.model_dir, "config.json")) as f:
+        config_path = json.load(f)["config_path"]
+    config = load_config(config_path)
+    model = CondRealNVP.from_config(config)
+    with open(os.path.join(args.model_dir, "params.pkl"), "rb") as f:
+        params = jax.tree.map(jnp.asarray, pickle.load(f))
+
+    cfg = {k.lower(): v for k, v in config.items()}
+    cfg["data"] = dict(cfg["data"])
+    cfg["data"]["path"] = args.data
+    handler = TrainerDataHandler()
+    y, conditions = handler.get_data_for_training(
+        cfg, model.parameter_index_mapping, get_data_type(config["global"]["dtype"])
+    )
+    y = y[: args.max_points]
+    conditions = [c[: args.max_points] for c in conditions]
+
+    # test NLL
+    nlls = []
+    for b in range(0, len(y), 256):
+        z, ld = model.forward(
+            params, jnp.asarray(y[b: b + 256]),
+            *[jnp.asarray(c[b: b + 256]) for c in conditions],
+        )
+        nlls.append(np.asarray(inn_nll_loss(z, ld, reduction="none")))
+    test_nll = float(np.concatenate(nlls).mean())
+    print(f"test NLL: {test_nll:.3f}")
+
+    # calibration (reference protocol: M posterior samples, 32-bin ranks)
+    ranks = compute_y_hat_ranks(
+        model, params, jnp.asarray(y),
+        *[jnp.asarray(c) for c in conditions],
+        M_samples=args.m_samples, key=jax.random.key(args.seed),
+    )
+    t, resid, ci = compute_CDF_residuals(ranks, args.m_samples)
+    names = list(model.parameter_index_mapping.parameters)
+    plot_rank_histograms(ranks, args.m_samples, names).savefig(
+        os.path.join(args.output_dir, "rank_histograms.png"), dpi=150
+    )
+    plot_cdf_residuals(t, resid, names).savefig(
+        os.path.join(args.output_dir, "cdf_residuals.png"), dpi=150
+    )
+
+    report = {
+        "test_nll": test_nll,
+        "n_points": int(len(y)),
+        "M_samples": args.m_samples,
+        "rank_mean_frac": float(np.mean(ranks) / args.m_samples),
+        "max_scaled_cdf_residual": float(np.abs(resid).max()),
+    }
+
+    if not args.skip_resim:
+        data_dict = load_data(args.data, keep_output_type=cfg["data"]["output_type"])
+        data_dict = {k: v[: args.max_points] for k, v in data_dict.items()}
+        X_resim = resimulate(
+            model, params, cfg["data"]["T"], cfg["data"]["dt"], data_dict,
+            None, *[jnp.asarray(c) for c in conditions],
+            m_samples=args.resim_samples, key=jax.random.key(args.seed + 1),
+        )
+        X_true = np.asarray(data_dict["trajectories"])
+        finite = np.isfinite(X_resim).all(axis=(2, 3))
+        err = np.where(
+            finite[..., None, None], X_resim - X_true[:, None], np.nan
+        )
+        per_step_mse = np.nanmedian(np.nansum(err**2, axis=-1), axis=1)  # (N, T)
+        report["resim_median_mse_mean"] = float(np.nanmean(per_step_mse))
+        report["resim_finite_frac"] = float(finite.mean())
+        poi_r = impact_points(X_resim)
+        poi_t = impact_points(X_true)
+        report["impact_rmse"] = float(
+            np.sqrt(np.nanmean(np.nansum((poi_r - poi_t[:, None]) ** 2, axis=-1)))
+        )
+        plot_resimulation(X_true, X_resim).savefig(
+            os.path.join(args.output_dir, "resimulation.png"), dpi=150
+        )
+
+    with open(os.path.join(args.output_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
 
 
 if __name__ == "__main__":

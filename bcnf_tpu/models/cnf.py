@@ -263,6 +263,31 @@ class AffineCoupling:
         y_b = (z_b - t_a) * jnp.exp(-log_s_a)
         return jnp.concatenate([y_a, y_b], axis=-1)
 
+    @property
+    def fusable(self) -> bool:
+        """Whether the Pallas fused kernel covers this coupling (one-way,
+        Linear conditioner family)."""
+        return self.nn_b is None and self.nn_a.family.name == "Linear"
+
+    def forward_fused(self, params: Params, y: jnp.ndarray, h_proj: dict) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Pallas fast path (eval only: no dropout); see ops/coupling_kernel.py."""
+        from bcnf_tpu.ops.coupling_kernel import fused_affine_coupling, mlp_params_to_kernel_args
+
+        args = mlp_params_to_kernel_args(params["a"], self.d_a)
+        z_b, ld = fused_affine_coupling(
+            y[..., : self.d_a], y[..., self.d_a:], h_proj["a"][0], **args
+        )
+        return jnp.concatenate([y[..., : self.d_a], z_b], axis=-1), ld
+
+    def inverse_fused(self, params: Params, z: jnp.ndarray, h_proj: dict) -> jnp.ndarray:
+        from bcnf_tpu.ops.coupling_kernel import fused_affine_coupling, mlp_params_to_kernel_args
+
+        args = mlp_params_to_kernel_args(params["a"], self.d_a)
+        y_b = fused_affine_coupling(
+            z[..., : self.d_a], z[..., self.d_a:], h_proj["a"][0], inverse=True, **args
+        )
+        return jnp.concatenate([z[..., : self.d_a], y_b], axis=-1)
+
 
 class RQSCoupling:
     """Rational-quadratic-spline coupling — the *working* realization of the
@@ -452,6 +477,7 @@ class CondRealNVP:
         coupling: str = "affine",
         coupling_kwargs: dict | None = None,
         precision: str = "highest",
+        use_pallas: bool = False,
     ) -> None:
         self.size = size
         self.nested_sizes = list(nested_sizes)
@@ -469,6 +495,7 @@ class CondRealNVP:
         # invertibility (inverse(forward(y)) != y at 1e-2) — "highest" forces
         # f32 accumulation. Set "default" to trade fidelity for MXU speed.
         self.precision = precision
+        self.use_pallas = use_pallas
 
         common = dict(
             input_size=size,
@@ -588,6 +615,16 @@ class CondRealNVP:
             rng = jax.random.key(0)
         return jax.random.split(rng, 4)
 
+    def _use_fused(self, train: bool) -> bool:
+        """Pallas fast path applies at eval time (no dropout inside the
+        kernel) for one-way Linear affine couplings with conditions."""
+        return (
+            self.use_pallas
+            and not train
+            and self.n_conditions > 0
+            and getattr(self.coupling, "fusable", False)
+        )
+
     def _block_xs(self, params: Params, h: jnp.ndarray | None) -> tuple[Params | None, dict | None]:
         """Per-block scan inputs: stacked params (+ hoisted condition
         projections, whose leaves are (n_blocks-1, B, hidden))."""
@@ -612,6 +649,7 @@ class CondRealNVP:
         r_feat, r_blocks, r_final, _ = self._rngs(rng)
         h = self.encode(params, conditions, r_feat, train) if self.features is not None else None
 
+        fused = self._use_fused(train)
         with jax.default_matmul_precision(self.precision):
             log_det = jnp.zeros(y.shape[:-1])
             blocks, projs = self._block_xs(params, h)
@@ -625,9 +663,12 @@ class CondRealNVP:
                     if self.actnorm is not None:
                         yy, ld_an = self.actnorm.forward(blk["actnorm"], yy)
                         ld = ld + ld_an
-                    yy, ld_c = self.coupling.forward(
-                        blk["coupling"], yy, h, proj, brng if train else None, train
-                    )
+                    if fused and proj is not None:
+                        yy, ld_c = self.coupling.forward_fused(blk["coupling"], yy, proj)
+                    else:
+                        yy, ld_c = self.coupling.forward(
+                            blk["coupling"], yy, h, proj, brng if train else None, train
+                        )
                     ld = ld + ld_c
                     yy = yy @ blk["ortho"]
                     return (yy, ld), None
@@ -635,9 +676,12 @@ class CondRealNVP:
                 (y, log_det), _ = jax.lax.scan(body, (y, log_det), (blocks, projs, block_rngs))
 
             final_proj = self.coupling.cond_proj(params["final"], h) if h is not None else None
-            y, ld_f = self.coupling.forward(
-                params["final"], y, h, final_proj, r_final if train else None, train
-            )
+            if fused and final_proj is not None:
+                y, ld_f = self.coupling.forward_fused(params["final"], y, final_proj)
+            else:
+                y, ld_f = self.coupling.forward(
+                    params["final"], y, h, final_proj, r_final if train else None, train
+                )
             log_det = log_det + ld_f
 
         if return_features:
@@ -669,11 +713,15 @@ class CondRealNVP:
         conditions once and reuse across many z draws (posterior sampling)."""
         _, r_blocks, r_final, _ = self._rngs(rng)
 
+        fused = self._use_fused(train)
         with jax.default_matmul_precision(self.precision):
             final_proj = self.coupling.cond_proj(params["final"], h) if h is not None else None
-            z = self.coupling.inverse(
-                params["final"], z, h, final_proj, r_final if train else None, train
-            )
+            if fused and final_proj is not None:
+                z = self.coupling.inverse_fused(params["final"], z, final_proj)
+            else:
+                z = self.coupling.inverse(
+                    params["final"], z, h, final_proj, r_final if train else None, train
+                )
 
             blocks, projs = self._block_xs(params, h)
             if blocks is not None:
@@ -687,9 +735,12 @@ class CondRealNVP:
                     zz = carry
                     blk, proj, brng = xs
                     zz = zz @ blk["ortho"].T
-                    zz = self.coupling.inverse(
-                        blk["coupling"], zz, h, proj, brng if train else None, train
-                    )
+                    if fused and proj is not None:
+                        zz = self.coupling.inverse_fused(blk["coupling"], zz, proj)
+                    else:
+                        zz = self.coupling.inverse(
+                            blk["coupling"], zz, h, proj, brng if train else None, train
+                        )
                     if self.actnorm is not None:
                         zz = self.actnorm.inverse(blk["actnorm"], zz)
                     return zz, None

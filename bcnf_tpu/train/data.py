@@ -76,10 +76,16 @@ class TrainerDataHandler:
                 errors=errors,
             )
 
+        # condition-key aliases: run configs say `cam_radian`
+        # (reference `configs/runs/dev/videos_CNN_LSTM_large.yaml:6`) while the
+        # generator emits `cam_radian_array` (reference `sampling.py:276`)
+        key_aliases = {"cam_radian": "cam_radian_array", "cam_radian_array": "cam_radian"}
         conditions = []
         for condition_keys in config["global"]["conditions"]:
             condition_values = []
             for c in condition_keys:
+                if c not in data and c in key_aliases and key_aliases[c] in data:
+                    c = key_aliases[c]
                 value = np.asarray(data[c], dtype=dtype)
                 if value.ndim == 1:
                     value = value[:, None]

@@ -220,8 +220,19 @@ class Trainer:
         batch_size = cfg_t["batch_size"]
         timeout = cfg_t.get("timeout")
         n_epochs = cfg_t["n_epochs"]
+        # Divergence policy: "raise" mirrors the reference
+        # (`trainer.py:168-169` raises TrainingDivergedError mid-run, losing
+        # the model); "stop" ends training gracefully and returns the best
+        # parameters seen (new failure-recovery capability, SURVEY.md 5.3).
+        on_divergence = cfg_t.get("on_divergence", "raise")
+        keep_best = bool(cfg_t.get("keep_best", False))
+        best_params = None
+        best_val = float("inf")
         start_time = time.time()
         step = 0
+
+        def finish(p: Any) -> Any:
+            return best_params if (keep_best and best_params is not None) else p
 
         for epoch in range(start_epoch, n_epochs):
             ms.update_epoch(epoch)
@@ -240,6 +251,9 @@ class Trainer:
             train_loss, train_nll, train_mse = float(tm[0]), float(tm[1]), float(tm[2])
 
             if (train_loss > 1e5 or np.isnan(train_loss)) and epoch > 10:
+                if on_divergence == "stop":
+                    ms.parameter_history["stop_reason"] = "diverged"
+                    return finish(params)
                 raise TrainingDivergedError(
                     f"Loss exploded to {train_loss} at epoch {epoch}"
                 )
@@ -259,6 +273,9 @@ class Trainer:
             z_std = np.mean(jax.device_get(jnp.stack(z_stds)), axis=0)
 
             ms.update_rolling_validation_loss(val_loss)
+            if keep_best and np.isfinite(val_loss) and val_loss < best_val:
+                best_val = val_loss
+                best_params = jax.tree.map(jnp.copy, params)
 
             lr = get_learning_rate(opt_state)
             ms.log("train_loss", train_loss)
@@ -295,15 +312,22 @@ class Trainer:
                     metadata={"run_name": self.run_name, "epoch": epoch, "val_loss": val_loss},
                 )
 
+            if epoch == start_epoch:
+                # Exclude the first epoch (XLA compile, potentially minutes on
+                # a remote-tunnel TPU) from the wall-clock training budget;
+                # the reference's timeout measures torch eager training where
+                # warmup is negligible (`trainer.py:236-238`).
+                start_time = time.time()
+
             if ms.patience_exceeded:
                 ms.parameter_history["stop_reason"] = "val_loss_plateau"
-                return params
+                return finish(params)
             if timeout is not None and time.time() - start_time > timeout:
                 ms.parameter_history["stop_reason"] = "timeout"
-                return params
+                return finish(params)
 
         ms.parameter_history["stop_reason"] = "max_epochs"
-        return params
+        return finish(params)
 
 
 def train_CondRealNVP(

@@ -3,7 +3,9 @@ multi-chip sharding is exercised without TPU hardware (SURVEY.md section 4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the image presets JAX_PLATFORMS=axon (the TPU tunnel), which
+# would silently run the whole suite on the shared chip with 1 device.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
