@@ -18,6 +18,7 @@ from bcnf_tpu.simulation.sampling import (
     accept_traveled_distance,
     accept_visibility,
     generate_data,
+    generate_data_old,
 )
 
 __all__ = [
@@ -30,6 +31,7 @@ __all__ = [
     "sample_ballistic_parameters",
     "sample_from_config",
     "generate_data",
+    "generate_data_old",
     "accept_visibility",
     "accept_traveled_distance",
     "get_cams_position",

@@ -35,6 +35,60 @@ from bcnf_tpu.simulation.priors import HashableConfig, sample_ballistic_paramete
 from bcnf_tpu.utils.prng import key_from_seed
 
 
+def generate_data_old(
+    key: jax.Array | None = None,
+    x0_pdf: Any = None,
+    v0_pdf: Any = None,
+    g_pdf: Any = None,
+    w_pdf: Any = None,
+    b_pdf: Any = None,
+    m_pdf: Any = None,
+    rho_pdf: Any = None,
+    r_pdf: Any = None,
+    a_pdf: Any = None,
+    T: float = 2.0,
+    dt: float = 1 / 30,
+    N: int = 1,
+    break_on_impact: bool = False,
+    seed: int | None = None,
+) -> dict[str, np.ndarray]:
+    """Legacy lambda-prior dataset API (reference `sampling.py:12-104`).
+
+    Each `*_pdf` is `fn(size) -> np.ndarray` sampling that parameter; defaults
+    reproduce the reference's lambda defaults. Simulation runs batched on
+    device instead of the reference's per-sample Python loop.
+    """
+    rng = np.random.default_rng(seed)
+    x0 = (x0_pdf or (lambda size: rng.uniform(0, 10, size=size)))((N, 3))
+    v0 = (v0_pdf or (lambda size: rng.uniform(-10, 10, size=size) + np.array([0, 0, 9])))((N, 3))
+    g = (g_pdf or (lambda size: rng.normal(9.81, 0.1, size=size) * np.array([0, 0, -1])))((N, 3))
+    w = (w_pdf or (lambda size: rng.normal(0, 1, size=size) * np.array([1, 1, 0.1])))((N, 3))
+    b = (b_pdf or (lambda size: rng.uniform(0, 1, size=size)))((N,))
+    m = (m_pdf or (lambda size: rng.uniform(0.5, 1.5, size=size)))((N,))
+    rho = (rho_pdf or (lambda size: rng.uniform(1.0, 1.5, size=size)))((N,))
+    r = (r_pdf or (lambda size: rng.uniform(0.05, 0.15, size=size)))((N,))
+    a = (a_pdf or (lambda size: rng.uniform(0, 0, size=size)))((N, 3))
+
+    X = simulate_trajectory(
+        jnp.asarray(x0, jnp.float32), jnp.asarray(v0, jnp.float32),
+        jnp.asarray(g, jnp.float32), jnp.asarray(w, jnp.float32),
+        jnp.asarray(b, jnp.float32), jnp.asarray(m, jnp.float32),
+        jnp.asarray(rho, jnp.float32), jnp.asarray(r, jnp.float32),
+        jnp.asarray(a, jnp.float32),
+        n_steps=n_steps_for(T, dt), dt=float(dt),
+        break_on_impact=break_on_impact, n_substeps=4,
+    )
+    return {
+        "trajectories": np.asarray(X),
+        "x0_x": x0[:, 0], "x0_y": x0[:, 1], "x0_z": x0[:, 2],
+        "v0_x": v0[:, 0], "v0_y": v0[:, 1], "v0_z": v0[:, 2],
+        "g_x": g[:, 0], "g_y": g[:, 1], "g_z": g[:, 2],
+        "w_x": w[:, 0], "w_y": w[:, 1], "w_z": w[:, 2],
+        "b": b, "m": m, "rho": rho, "r": r,
+        "a_x": a[:, 0], "a_y": a[:, 1], "a_z": a[:, 2],
+    }
+
+
 def accept_visibility(key: jax.Array, visibility: jnp.ndarray) -> jnp.ndarray:
     """Vectorized visibility acceptance (reference `sampling.py:134-142`)."""
     u = jax.random.uniform(key, visibility.shape)

@@ -66,6 +66,22 @@ class WandbSink(MetricSink):
         self._run.finish()
 
 
+def wandb_login(filename: str = "wandbAPIKey.txt") -> None:
+    """Log into wandb with a key file (reference `src/bcnf/train/utils.py:37-58`).
+
+    Import-gated: only needed when using :class:`WandbSink`.
+    """
+    import wandb
+
+    from bcnf_tpu.config import get_dir
+
+    key_file = get_dir(filename=filename)
+    if not os.path.exists(key_file):
+        raise FileNotFoundError(f"File '{key_file}' does not exist.")
+    with open(key_file) as f:
+        wandb.login(key=f.read().strip())
+
+
 class MultiSink(MetricSink):
     def __init__(self, *sinks: MetricSink) -> None:
         self.sinks = [s for s in sinks if s is not None]

@@ -5,6 +5,7 @@ from bcnf_tpu.utils.misc import (
     inn_nll_loss,
     partconv1d,
 )
+from bcnf_tpu.utils.summary import model_summary, param_tree_summary
 from bcnf_tpu.utils.prng import fold_in_step, key_from_seed, key_stream, split_like
 
 __all__ = [
@@ -18,4 +19,6 @@ __all__ = [
     "key_stream",
     "split_like",
     "fold_in_step",
+    "model_summary",
+    "param_tree_summary",
 ]

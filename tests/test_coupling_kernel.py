@@ -1,5 +1,7 @@
 """Pallas fused coupling kernel vs the reference XLA path (interpret mode on CPU)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,6 +48,12 @@ def test_kernel_inverse_matches_xla(setup):
     np.testing.assert_allclose(np.asarray(y_b), np.asarray(y[:, layer.d_a:]), atol=1e-4)
 
 
+@pytest.mark.skipif(
+    not os.environ.get("BCNF_RUN_SLOW"),
+    reason="lax.scan over interpret-mode pallas_call is pathologically slow on "
+    "CPU (>20 min for a 2-block toy model); the model-level pallas path is "
+    "validated on real TPU by scripts/pallas_check.py",
+)
 def test_model_pallas_path_matches_xla(monkeypatch):
     """Full-flow forward/inverse with use_pallas must match the XLA path.
 
