@@ -1,5 +1,6 @@
 from bcnf_tpu.parallel.mesh import (
     batch_sharding,
+    ensure_cpu_devices,
     initialize_distributed,
     is_host_zero,
     make_2d_mesh,
@@ -14,6 +15,7 @@ __all__ = [
     "make_mesh",
     "make_2d_mesh",
     "batch_sharding",
+    "ensure_cpu_devices",
     "replicated",
     "shard_batch",
     "replicate",

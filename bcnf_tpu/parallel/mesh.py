@@ -17,6 +17,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def ensure_cpu_devices(n: int) -> None:
+    """Honor `JAX_PLATFORMS=cpu` + host-device-count env vars even when a
+    platform plugin pinned the backend at interpreter start (this image's
+    sitecustomize imports jax before user code, so env parsing happens with
+    the plugin's values). No-op once backends are initialized."""
+    import os
+
+    env_flags = os.environ.get("XLA_FLAGS", "")
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower() or (
+        "xla_force_host_platform_device_count" in env_flags
+    ):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", max(n, 1))
+        except Exception:
+            pass
+
+
 def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
     """Build a 1-D data-parallel mesh over (the first `n_devices`) devices."""
     devices = jax.devices()

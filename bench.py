@@ -79,6 +79,21 @@ def main() -> None:
     steps_per_sec = n_iters / dt
     samples_per_sec = steps_per_sec * BATCH
 
+    # batch-scaling (secondary): batch 256 is the reference protocol but is
+    # latency-bound on the MXU; larger batches show the throughput headroom
+    for big in (1024, 4096):
+        yb = jnp.asarray(rng.normal(size=(big, 19)), jnp.float32)
+        tb = jnp.asarray(rng.normal(size=(big, SEQ, 3)), jnp.float32)
+        pb, ob, lb = train_step(params, opt_state, yb, tb)
+        lb.block_until_ready()
+        t0 = time.time()
+        n = 10
+        for _ in range(n):
+            pb, ob, lb = train_step(params, opt_state, yb, tb)
+        lb.block_until_ready()
+        print(f"batch {big}: {n * big / (time.time() - t0):,.0f} train samples/s", file=sys.stderr)
+        del pb, ob
+
     # posterior sampling throughput (secondary)
     M = 512
     cond = traj[:8]

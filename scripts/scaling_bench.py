@@ -69,6 +69,9 @@ def measure(n_devices: int, model, params_init, iters: int = 10) -> float:
 def main() -> None:
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from __graft_entry__ import _flagship_model
+    from bcnf_tpu.parallel import ensure_cpu_devices
+
+    ensure_cpu_devices(8)
 
     scale = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
     model = _flagship_model(size_scale=scale)
