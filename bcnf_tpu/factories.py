@@ -23,7 +23,9 @@ from bcnf_tpu.models.feature_network import (
     Identity,
     LSTMFeatureNetwork,
     Transformer,
+    VerboseLSTM,
 )
+from bcnf_tpu.models.layers import AnyGLU, FFTEnrichLayer, FFTLayer, LinearFFTEnriched
 
 
 class FeatureNetworkFactory:
@@ -39,6 +41,11 @@ class FeatureNetworkFactory:
         "DualDomainLSTM": DualDomainLSTM,
         "DualDomainTransformer": DualDomainTransformer,
         "DualDomainFC": DualDomainFC,
+        "VerboseLSTM": VerboseLSTM,
+        "AnyGLU": AnyGLU,
+        "FFTLayer": FFTLayer,
+        "FFTEnrichLayer": FFTEnrichLayer,
+        "LinearFFTEnriched": LinearFFTEnriched,
     }
 
     @staticmethod

@@ -272,6 +272,60 @@ class Transformer(FeatureNetwork):
         return linear_apply(params["out"], x[:, 0, :])  # first-token readout (`:305`)
 
 
+class VerboseLSTM(FeatureNetwork):
+    """Per-layer LSTM stack that also exposes every layer's hidden states
+    (reference `feature_network.py:310-348`).
+
+    The reference builds `num_layers` single-layer ``nn.LSTM`` modules with
+    inter-layer dropout and returns ``(x, h)`` where ``h`` stacks each layer's
+    full output sequence, shape ``(B, num_layers, T, H*dirs)``. Here ``apply``
+    returns the final layer's sequence (the value consumed downstream) and
+    ``apply_verbose`` returns the ``(x, h)`` pair.
+    """
+
+    def __init__(
+        self,
+        input_size: int,
+        hidden_size: int,
+        num_layers: int,
+        dropout: float = 0.0,
+        bidirectional: bool = False,
+    ) -> None:
+        self.input_size = input_size
+        self.hidden_size = hidden_size
+        self.num_layers = num_layers
+        self.dropout_rate = dropout
+        self.bidirectional = bidirectional
+        dirs = 2 if bidirectional else 1
+        self.output_size = hidden_size * dirs
+
+    def init(self, key: jax.Array) -> Params:
+        keys = jax.random.split(key, self.num_layers)
+        dirs = 2 if self.bidirectional else 1
+        in_sizes = [self.input_size] + [self.hidden_size * dirs] * (self.num_layers - 1)
+        return {
+            "layers": [
+                lstm_init(k, in_size, self.hidden_size, 1, self.bidirectional)
+                for k, in_size in zip(keys, in_sizes)
+            ]
+        }
+
+    def apply_verbose(
+        self, params: Params, x: jnp.ndarray, rng: jax.Array | None = None, train: bool = False
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        hs = []
+        for i, layer in enumerate(params["layers"]):
+            x = lstm_apply(layer, x, self.hidden_size, 0.0, None, False)
+            hs.append(x)
+            if self.dropout_rate > 0 and i < self.num_layers - 1:
+                sub = jax.random.fold_in(rng, i) if rng is not None else None
+                x = dropout(sub, x, self.dropout_rate, train)
+        return x, jnp.stack(hs, axis=1)  # (B, L, T, H*dirs), reference `:347`
+
+    def apply(self, params: Params, x: jnp.ndarray, rng: jax.Array | None = None, train: bool = False) -> jnp.ndarray:
+        return self.apply_verbose(params, x, rng, train)[0]
+
+
 class DualDomainLSTM(FeatureNetwork):
     """Time-LSTM + rfft->frequency-LSTM, pooled and fused by an MLP
     (reference `feature_network.py:350-398`)."""
