@@ -552,10 +552,13 @@ class CondRealNVP:
         """Shape-chain check over the feature networks (reference `cnf.py:425-440`)."""
         if self.features is None:
             return
+        def _norm(s: Any) -> Any:
+            return tuple(s) if isinstance(s, (list, tuple)) else s
+
         current = None
         for fn in self.features.feature_networks:
-            in_size = getattr(fn, "input_size", None)
-            out_size = getattr(fn, "output_size", None)
+            in_size = _norm(getattr(fn, "input_size", None))
+            out_size = _norm(getattr(fn, "output_size", None))
             if in_size is None and out_size is None:
                 continue
             if current is not None and in_size not in (None, current):

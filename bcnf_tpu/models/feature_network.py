@@ -251,7 +251,8 @@ class Transformer(FeatureNetwork):
         return {
             "embed": linear_init(ke, self.input_size, self.trf_size),
             "blocks": [
-                transformer_block_init(k, self.trf_size, self.ff_size) for k in block_keys
+                transformer_block_init(k, self.trf_size, self.ff_size, self.n_heads)
+                for k in block_keys
             ],
             "out": linear_init(ko, self.trf_size, self.output_size),
         }
@@ -432,7 +433,21 @@ class DualDomainTransformer(FeatureNetwork):
 
 
 class DualDomainFC(FeatureNetwork):
-    """Time + frequency MLPs fused by an MLP (reference `feature_network.py:474-525`)."""
+    """Time + frequency MLPs fused by an MLP (reference `feature_network.py:474-525`).
+
+    Deliberate divergences (the reference is un-runnable as written for every
+    published DFC config, e.g. `configs/runs/hybrid/t_DFC_large_hybrid.yaml`):
+
+    - The reference declares the frequency MLP input as ``input_size * 2``
+      (`feature_network.py:496-499`) but actually feeds it
+      ``(T//2+1) * 2 * C`` rfft features — a shape mismatch. We compute the
+      **full** FFT over the flattened input, whose concat(real, imag) is
+      exactly ``input_size * 2`` features: the declared parameter shapes hold
+      and no information is lost (the full FFT is a superset of the rfft).
+    - The reference declares the fusion MLP input as ``input_size * 2``
+      (`feature_network.py:502-504`) but feeds it ``2 * sizes[-1]`` features.
+      We size it from the actual concatenation.
+    """
 
     def __init__(
         self,
@@ -446,9 +461,9 @@ class DualDomainFC(FeatureNetwork):
         self.output_size = list(fc_sizes)[-1]
         self.time_fc = FullyConnectedFeatureNetwork(sizes=[input_size] + list(sizes), dropout=dropout)
         self.freq_fc = FullyConnectedFeatureNetwork(sizes=[input_size * 2] + list(sizes), dropout=dropout)
-        # reference quirk kept: the fusion MLP input is `input_size * 2`, i.e.
-        # the *raw* sizes, matching `feature_network.py:502` exactly.
-        self.fc = FullyConnectedFeatureNetwork(sizes=[input_size * 2] + list(fc_sizes), dropout=dropout)
+        self.fc = FullyConnectedFeatureNetwork(
+            sizes=[2 * list(sizes)[-1]] + list(fc_sizes), dropout=dropout
+        )
 
     def init(self, key: jax.Array) -> Params:
         kt, kf, kc = jax.random.split(key, 3)
@@ -463,8 +478,9 @@ class DualDomainFC(FeatureNetwork):
         if rng is not None:
             rt, rf, rc = jax.random.split(rng, 3)
         x_time = self.time_fc.apply(params["time"], x, rt, train)
-        f = jnp.fft.rfft(x, axis=1)
+        flat = x.reshape(x.shape[0], -1)
+        f = jnp.fft.fft(flat, axis=-1)  # full FFT: 2*input_size real features
         x_freq = self.freq_fc.apply(
-            params["freq"], jnp.concatenate([f.real, f.imag], axis=-1).reshape(x.shape[0], -1), rf, train
+            params["freq"], jnp.concatenate([f.real, f.imag], axis=-1), rf, train
         )
         return self.fc.apply(params["fc"], jnp.concatenate([x_time, x_freq], axis=-1), rc, train)

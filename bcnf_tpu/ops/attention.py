@@ -25,13 +25,20 @@ from bcnf_tpu.ops.nn import (
 )
 
 
-def mha_init(key: jax.Array, d_model: int, dtype: Any = jnp.float32) -> Params:
+def mha_init(key: jax.Array, d_model: int, n_heads: int = 1, dtype: Any = jnp.float32) -> Params:
+    # Project to n_heads * head_dim (= d_model when divisible). The reference
+    # projects d_model -> d_model then `.view(B, -1, n_heads, head_dim)`
+    # (`feature_network.py:208-211`), which raises at runtime whenever
+    # n_heads does not divide d_model (published configs t_PTRF_small
+    # [trf_size 46, 4 heads] and t_DPTRF_medium [70, 8] hit this).
+    # Deliberate divergence: size the projections so every config runs.
+    inner = n_heads * (d_model // n_heads)
     kq, kk, kv, ko = jax.random.split(key, 4)
     return {
-        "q": linear_init(kq, d_model, d_model, dtype),
-        "k": linear_init(kk, d_model, d_model, dtype),
-        "v": linear_init(kv, d_model, d_model, dtype),
-        "out": linear_init(ko, d_model, d_model, dtype),
+        "q": linear_init(kq, d_model, inner, dtype),
+        "k": linear_init(kk, d_model, inner, dtype),
+        "v": linear_init(kv, d_model, inner, dtype),
+        "out": linear_init(ko, inner, d_model, dtype),
     }
 
 
@@ -50,16 +57,16 @@ def mha_apply(params: Params, x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.asarray(head_dim, x.dtype))
     weights = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
-    out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, n_heads * head_dim)
     return linear_apply(params["out"], out)
 
 
 def transformer_block_init(
-    key: jax.Array, d_model: int, ff_size: int, dtype: Any = jnp.float32
+    key: jax.Array, d_model: int, ff_size: int, n_heads: int = 1, dtype: Any = jnp.float32
 ) -> Params:
     ka, k1, k2 = jax.random.split(key, 3)
     return {
-        "attn": mha_init(ka, d_model, dtype),
+        "attn": mha_init(ka, d_model, n_heads, dtype),
         "norm1": layer_norm_init(d_model, dtype),
         "norm2": layer_norm_init(d_model, dtype),
         "ff1": linear_init(k1, d_model, ff_size, dtype),
