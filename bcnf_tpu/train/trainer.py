@@ -234,6 +234,10 @@ class Trainer:
         def finish(p: Any) -> Any:
             return best_params if (keep_best and best_params is not None) else p
 
+        # a dataset smaller than the batch would otherwise yield zero
+        # (drop_remainder) training batches per epoch
+        batch_size = min(batch_size, train_set.n)
+
         for epoch in range(start_epoch, n_epochs):
             ms.update_epoch(epoch)
 
