@@ -60,6 +60,10 @@ def main(argv: list[str] | None = None) -> None:
     eval_parser.add_argument("--max-points", type=int, default=200, help="Test points to evaluate")
     eval_parser.add_argument("--skip-resim", action="store_true")
     eval_parser.add_argument("--seed", type=int, default=0)
+    eval_parser.add_argument("--precision", type=str, default=None,
+                             help="Matmul precision override for sampling, e.g. BF16_BF16_F32_X3 "
+                                  "(1.75x sampling throughput at ~2e-3 round-trip error; "
+                                  "see results/precision_sweep.json)")
 
     sample_parser = subparsers.add_parser("sample")
     sample_parser.add_argument("-m", "--model-dir", type=str, required=True, help="Directory with params.pkl + config.json")
@@ -67,6 +71,8 @@ def main(argv: list[str] | None = None) -> None:
     sample_parser.add_argument("-n", "--n-samples", type=int, default=1000)
     sample_parser.add_argument("-o", "--output", type=str, required=True, help="Output .npy path")
     sample_parser.add_argument("--seed", type=int, default=0)
+    sample_parser.add_argument("--precision", type=str, default=None,
+                               help="Matmul precision override, e.g. BF16_BF16_F32_X3")
 
     args = parser.parse_args(argv)
 
@@ -191,6 +197,8 @@ def _cmd_sample(args: argparse.Namespace) -> None:
         config_path = json.load(f)["config_path"]
     config = load_config(config_path)
     model = CondRealNVP.from_config(config)
+    if getattr(args, "precision", None):
+        model.precision = args.precision
     with open(os.path.join(args.model_dir, "params.pkl"), "rb") as f:
         params = jax.tree.map(jnp.asarray, pickle.load(f))
 
@@ -232,6 +240,8 @@ def _cmd_eval(args: argparse.Namespace) -> None:
         config_path = json.load(f)["config_path"]
     config = load_config(config_path)
     model = CondRealNVP.from_config(config)
+    if getattr(args, "precision", None):
+        model.precision = args.precision
     with open(os.path.join(args.model_dir, "params.pkl"), "rb") as f:
         params = jax.tree.map(jnp.asarray, pickle.load(f))
 
