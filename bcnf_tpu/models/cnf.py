@@ -791,7 +791,43 @@ class CondRealNVP:
         if not outer:
             z = sigma * jax.random.normal(key, (n_samples, self.size))
             return self.inverse_given_h(params, z, h)
+        if self._use_fused(train=False) and h is not None:
+            y = self.inverse_fused_flow(params, z.reshape(n_samples * N, self.size), h)
+            if y is not None:
+                return y.reshape(n_samples, N, self.size)
         return jax.vmap(lambda zz: self.inverse_given_h(params, zz, h))(z)
+
+    def _fused_flow_args(self, params: Params, h: jnp.ndarray) -> tuple[dict, jnp.ndarray]:
+        """Stacked kernel args + (K+1, N, H) condition projections for the
+        whole-flow Pallas kernel (ops/flow_kernel.py)."""
+        from bcnf_tpu.ops.flow_kernel import stack_flow_params
+
+        kargs = stack_flow_params(self, params)
+        proj_blocks = self.coupling.cond_proj(params["blocks"]["coupling"], h)["a"][0]
+        proj_final = self.coupling.cond_proj(params["final"], h)["a"][0]
+        h_proj = jnp.concatenate([proj_blocks, proj_final[None]], axis=0)
+        return kargs, h_proj
+
+    def inverse_fused_flow(
+        self, params: Params, z_flat: jnp.ndarray, h: jnp.ndarray, block_b: int = 512
+    ) -> jnp.ndarray | None:
+        """Whole-flow fused inverse over draws-major flattened rows
+        (row = draw * N + cond). Returns None when the batch/condition
+        layout doesn't satisfy the kernel's tiling contract."""
+        from bcnf_tpu.ops.flow_kernel import fused_flow
+
+        N = h.shape[0]
+        B = z_flat.shape[0]
+        bb = min(block_b, B)
+        if not (B % bb == 0 and (N % bb == 0 or bb % N == 0)):
+            return None
+        kargs, h_proj = self._fused_flow_args(params, h)
+        with jax.default_matmul_precision(self.precision):
+            return fused_flow(
+                z_flat, h_proj, **kargs,
+                inverse=True, n_cond=N, block_b=bb,
+                precision="highest" if self.precision in ("highest", "float32") else "default",
+            )
 
 
 # Backwards-compatible alias matching the reference class name

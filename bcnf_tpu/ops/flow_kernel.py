@@ -1,0 +1,329 @@
+"""Pallas TPU kernel: the ENTIRE RealNVP stack fused into one kernel.
+
+Motivation (measured, see `results/pallas_tune.json` and PARITY.md): a single
+fused coupling only matches XLA — the XLA sampling path is bound by HBM
+round-trips of the (B, H) activations between the ~26 blocks x 5 layers of
+the flow, not by any one op. This kernel runs the *whole* chain
+(reference `CondRealNVP_v2.forward/inverse`, `src/bcnf/models/cnf.py:467-508`:
+per block [ActNorm, AffineCoupling, Orthonormal] + final coupling) for a
+batch tile without the activations ever leaving VMEM:
+
+- grid = (batch_tiles, n_blocks+1); the block axis is innermost and
+  sequential, the activation lives in a VMEM scratch across block steps;
+- per-block weights are streamed HBM->VMEM by the BlockSpec pipeline
+  (double-buffered by Pallas), so weight traffic is K x ~5.5 MB per batch
+  tile while activation traffic is exactly one read + one write per row;
+- the hoisted condition projections h_proj (n_blocks+1, N, H) are *shared
+  across posterior draws* through a modulo index_map: rows are laid out
+  draws-major so a batch tile maps to one contiguous condition chunk.
+
+Supports one-way affine couplings with the Linear layer family (the dominant
+published configuration: every `configs/runs/{old,nll,hybrid}` model);
+`CondRealNVP.use_pallas` falls back to the XLA path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _eye_like(size: int, dtype: Any) -> jnp.ndarray:
+    rows = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    return (rows == cols).astype(dtype)
+
+
+def _mlp(x_a, h_proj, w1y_ref, b1_ref, wm_ref, bm_ref, wout_ref, bout_ref, n_hidden, prec):
+    """The coupling MLP chain for one block (weights have leading block dim 1)."""
+    x = jax.nn.gelu(
+        jnp.dot(x_a, w1y_ref[0], precision=prec, preferred_element_type=jnp.float32)
+        + b1_ref[0, 0][None, :]
+        + h_proj
+    )
+    for i in range(n_hidden):
+        x = jax.nn.gelu(
+            jnp.dot(x, wm_ref[0, i], precision=prec, preferred_element_type=jnp.float32)
+            + bm_ref[0, i][None, :]
+        )
+    return (
+        jnp.dot(x, wout_ref[0], precision=prec, preferred_element_type=jnp.float32)
+        + bout_ref[0, 0][None, :]
+    )
+
+
+def _flow_kernel(
+    # inputs (BlockSpec-sliced)
+    x_in_ref, h_proj_ref, an_s_ref, an_b_ref, ortho_ref,
+    w1y_ref, b1_ref, wm_ref, bm_ref, wout_ref, bout_ref,
+    # outputs
+    out_ref, ld_ref,
+    # scratch
+    x_s, ld_s,
+    *,
+    n_steps: int, n_hidden: int, d_a: int, d_b: int,
+    inverse: bool, cond_tile_reps: int, prec: Any,
+):
+    b = pl.program_id(1)
+    size = d_a + d_b
+
+    @pl.when(b == 0)
+    def _init():
+        x_s[:] = x_in_ref[:]
+        ld_s[:] = jnp.zeros_like(ld_s)
+
+    x = x_s[:]
+    h_proj = h_proj_ref[0]
+    # 1-D per-block vectors carry a singleton axis for TPU block alignment
+    an_s_row = an_s_ref[0, 0][None, :]
+    an_b_row = an_b_ref[0, 0][None, :]
+    if cond_tile_reps > 1:
+        # tile the (N, H) condition chunk over draws within the batch tile
+        n, hdim = h_proj.shape
+        h_proj = jnp.broadcast_to(h_proj[None], (cond_tile_reps, n, hdim)).reshape(
+            cond_tile_reps * n, hdim
+        )
+
+    an_s = an_s_row
+    an_b = an_b_row
+    ortho = ortho_ref[0]
+    eye = _eye_like(size, x.dtype)
+
+    if not inverse:
+        # inner blocks: ActNorm -> coupling -> orthonormal; final (b == K): coupling only
+        is_inner = (b < n_steps - 1).astype(x.dtype)
+        s_eff = is_inner * an_s + (1.0 - is_inner)
+        b_eff = is_inner * an_b
+        x = x * s_eff + b_eff
+        ld = jnp.sum(jnp.log(jnp.abs(s_eff)), axis=-1, keepdims=True)
+
+        x_a = x[:, :d_a]
+        out = _mlp(x_a, h_proj, w1y_ref, b1_ref, wm_ref, bm_ref, wout_ref, bout_ref, n_hidden, prec)
+        t = out[:, :d_b]
+        s = jnp.tanh(out[:, d_b:])
+        z_b = jnp.exp(s) * x[:, d_a:] + t
+        ld = ld + jnp.sum(s, axis=-1, keepdims=True)
+        x = jnp.concatenate([x_a, z_b], axis=-1)
+
+        ortho_eff = is_inner * ortho + (1.0 - is_inner) * eye
+        x = jnp.dot(x, ortho_eff, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+        x_s[:] = x
+        ld_s[:] = ld_s[:] + ld
+    else:
+        # step 0: final coupling inverse; steps >= 1: ortho^T -> coupling -> ActNorm^-1
+        is_inner = (b > 0).astype(x.dtype)
+        ortho_eff = is_inner * ortho.T + (1.0 - is_inner) * eye
+        x = jnp.dot(x, ortho_eff, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+
+        z_a = x[:, :d_a]
+        out = _mlp(z_a, h_proj, w1y_ref, b1_ref, wm_ref, bm_ref, wout_ref, bout_ref, n_hidden, prec)
+        t = out[:, :d_b]
+        s = jnp.tanh(out[:, d_b:])
+        y_b = (x[:, d_a:] - t) * jnp.exp(-s)
+        x = jnp.concatenate([z_a, y_b], axis=-1)
+
+        s_eff = is_inner * an_s + (1.0 - is_inner)
+        b_eff = is_inner * an_b
+        x = (x - b_eff) / s_eff
+        x_s[:] = x
+
+    @pl.when(b == n_steps - 1)
+    def _emit():
+        out_ref[:] = x_s[:]
+        if not inverse:
+            ld_ref[:] = ld_s[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("inverse", "block_b", "n_cond", "precision", "interpret"),
+)
+def fused_flow(
+    x: jnp.ndarray,            # (B, size) rows draws-major: row = draw * n_cond + cond
+    h_proj: jnp.ndarray,       # (K+1, N, H): inner blocks 0..K-1, final at K
+    an_scale: jnp.ndarray,     # (K+1, size) (entry K unused -> ones)
+    an_bias: jnp.ndarray,      # (K+1, size) (entry K unused -> zeros)
+    ortho: jnp.ndarray,        # (K+1, size, size) (forward orientation; entry K unused)
+    w1y: jnp.ndarray,          # (K+1, d_a, H)
+    b1: jnp.ndarray,           # (K+1, H)
+    wm: jnp.ndarray,           # (K+1, n_hidden, H, H)
+    bm: jnp.ndarray,           # (K+1, n_hidden, H)
+    wout: jnp.ndarray,         # (K+1, H, 2*d_b)
+    bout: jnp.ndarray,         # (K+1, 2*d_b)
+    *,
+    inverse: bool,
+    n_cond: int,
+    block_b: int = 512,
+    precision: str = "default",
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray] | jnp.ndarray:
+    """Run the whole flow in one kernel. Forward returns `(z, logdet)`,
+    inverse returns `y`. See module docstring for the layout contract."""
+    B, size = x.shape
+    n_steps, _, H = h_proj.shape  # K+1
+    n_hidden = wm.shape[1]
+    d_a = w1y.shape[1]
+    d_b = size - d_a
+
+    block_b = min(block_b, B)
+    if B % block_b:
+        raise ValueError(f"B={B} must be a multiple of block_b={block_b}")
+    # condition chunk <-> batch tile mapping (draws-major rows)
+    if block_b <= n_cond:
+        if n_cond % block_b:
+            raise ValueError(f"n_cond={n_cond} must be a multiple of block_b={block_b}")
+        cond_tile_reps = 1
+        n_cond_tiles = n_cond // block_b
+        cond_block = block_b
+    else:
+        if block_b % n_cond:
+            raise ValueError(f"block_b={block_b} must be a multiple of n_cond={n_cond}")
+        cond_tile_reps = block_b // n_cond
+        n_cond_tiles = 1
+        cond_block = n_cond
+
+    # singleton middle axis so the last-two block dims equal the array dims
+    an_scale = an_scale[:, None, :]
+    an_bias = an_bias[:, None, :]
+    b1 = b1[:, None, :]
+    bout = bout[:, None, :]
+
+    grid = (B // block_b, n_steps)
+    prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
+
+    # block index along the stacked-weights axis: forward visits 0..K in
+    # order (final last); inverse visits K (final) then K-1..0.
+    if inverse:
+        step_idx = lambda t, b: n_steps - 1 - b
+    else:
+        step_idx = lambda t, b: b
+
+    def wspec(shape: tuple) -> pl.BlockSpec:
+        return pl.BlockSpec(
+            (1, *shape), lambda t, b: (step_idx(t, b), *(0 for _ in shape)),
+            memory_space=pltpu.VMEM,
+        )
+
+    batch_spec = pl.BlockSpec(
+        (block_b, size), lambda t, b: (t, 0), memory_space=pltpu.VMEM
+    )
+    hproj_spec = pl.BlockSpec(
+        (1, cond_block, H),
+        lambda t, b: (step_idx(t, b), t % n_cond_tiles, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    in_specs = [
+        batch_spec,                 # x
+        hproj_spec,                 # h_proj
+        wspec((1, size)),           # an_scale
+        wspec((1, size)),           # an_bias
+        wspec((size, size)),        # ortho
+        wspec((d_a, H)),            # w1y
+        wspec((1, H)),              # b1
+        wspec((n_hidden, H, H)),    # wm
+        wspec((n_hidden, H)),       # bm
+        wspec((H, 2 * d_b)),        # wout
+        wspec((1, 2 * d_b)),        # bout
+    ]
+
+    kernel = functools.partial(
+        _flow_kernel,
+        n_steps=n_steps, n_hidden=n_hidden, d_a=d_a, d_b=d_b,
+        inverse=inverse, cond_tile_reps=cond_tile_reps, prec=prec,
+    )
+
+    out, ld = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            batch_spec,
+            pl.BlockSpec((block_b, 1), lambda t, b: (t, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, size), x.dtype),
+            jax.ShapeDtypeStruct((B, 1), x.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, size), jnp.float32),
+            pltpu.VMEM((block_b, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # the default 16 MB scoped-vmem cap is conservative; the streamed
+            # per-block weights (~5 MB double-buffered) + condition chunk +
+            # activation scratch need more headroom at block_b >= 512
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, h_proj, an_scale, an_bias, ortho, w1y, b1, wm, bm, wout, bout)
+
+    if inverse:
+        return out
+    return out, ld[:, 0]
+
+
+def stack_flow_params(model: Any, params: dict) -> dict:
+    """Assemble the stacked per-block kernel arguments from a CondRealNVP
+    param tree (one-way Linear affine couplings; `mlp_params_to_kernel_args`
+    analogue for the whole stack). Entry K is the final coupling; its
+    ActNorm/orthonormal slots are identity."""
+    size = model.size
+    d_a = model.coupling.d_a
+    blocks = params["blocks"]
+    cp = blocks["coupling"]["a"]["layers"]  # leaves (K, ...)
+    fin = params["final"]["a"]["layers"]
+
+    cat = lambda a, b: jnp.concatenate([a, b[None]], axis=0)
+    K = cp[0]["w"].shape[0]
+
+    w1 = cat(cp[0]["w"], fin[0]["w"])          # (K+1, d_a + n_cond_proj?, H)
+    w1y = w1[:, :d_a, :]
+    b1 = cat(cp[0]["b"], fin[0]["b"])
+    wm = jnp.stack([cat(cp[i]["w"], fin[i]["w"]) for i in range(1, len(cp) - 1)], axis=1)
+    bm = jnp.stack([cat(cp[i]["b"], fin[i]["b"]) for i in range(1, len(cp) - 1)], axis=1)
+    wout = cat(cp[-1]["w"], fin[-1]["w"])
+    bout = cat(cp[-1]["b"], fin[-1]["b"])
+
+    if model.actnorm is not None:
+        an_s = cat(blocks["actnorm"]["scale"], jnp.ones(size))
+        an_b = cat(blocks["actnorm"]["bias"], jnp.zeros(size))
+    else:
+        an_s = jnp.ones((K + 1, size))
+        an_b = jnp.zeros((K + 1, size))
+    ortho = cat(blocks["ortho"], jnp.eye(size))
+
+    return {
+        "an_scale": an_s, "an_bias": an_b, "ortho": ortho,
+        "w1y": w1y, "b1": b1, "wm": wm, "bm": bm, "wout": wout, "bout": bout,
+    }
+
+
+def pad_hidden(kargs: dict, h_proj: jnp.ndarray, lane: int = 128) -> tuple[dict, jnp.ndarray]:
+    """Zero-pad the hidden width H to a lane multiple. Exact same function:
+    padded units see zero weights and zero bias, and gelu(0) = 0, so they
+    contribute nothing downstream. Aligned tiles avoid wasted MXU lanes
+    (H=526 spans 5 lane tiles with the last 86% empty)."""
+    H = kargs["b1"].shape[-1]
+    Hp = ((H + lane - 1) // lane) * lane
+    if Hp == H:
+        return kargs, h_proj
+    p = Hp - H
+    out = dict(kargs)
+    out["w1y"] = jnp.pad(kargs["w1y"], ((0, 0), (0, 0), (0, p)))
+    out["b1"] = jnp.pad(kargs["b1"], ((0, 0), (0, p)))
+    out["wm"] = jnp.pad(kargs["wm"], ((0, 0), (0, 0), (0, p), (0, p)))
+    out["bm"] = jnp.pad(kargs["bm"], ((0, 0), (0, 0), (0, p)))
+    out["wout"] = jnp.pad(kargs["wout"], ((0, 0), (0, p), (0, 0)))
+    return out, jnp.pad(h_proj, ((0, 0), (0, 0), (0, p)))

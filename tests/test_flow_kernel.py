@@ -1,0 +1,143 @@
+"""Whole-flow fused Pallas kernel vs the XLA path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bcnf_tpu.models import (
+    CondRealNVP,
+    ConcatenateCondition,
+    FeatureNetworkStack,
+    FullyConnectedFeatureNetwork,
+)
+from bcnf_tpu.ops.flow_kernel import fused_flow, stack_flow_params
+
+
+def _model(n_blocks=4, size=7, n_cond=16, nested=(24, 24, 24)):
+    stack = FeatureNetworkStack(
+        [
+            ConcatenateCondition(input_size=None, output_size=6),
+            FullyConnectedFeatureNetwork(sizes=[6, 32, n_cond]),
+        ]
+    )
+    return CondRealNVP(
+        size=size,
+        nested_sizes=list(nested),
+        n_blocks=n_blocks,
+        n_conditions=n_cond,
+        feature_network_stack=stack,
+        act_norm=True,
+        random_state=0,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = _model()
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    N = 8  # condition rows
+    draws = 16
+    cond = jnp.asarray(rng.normal(size=(N, 6)).astype(np.float32))
+    h = model.encode(params, (cond,))
+    kargs, h_proj = model._fused_flow_args(params, h)
+    return model, params, h, kargs, h_proj, N, draws, rng
+
+
+def test_fused_forward_matches_xla(setup):
+    model, params, h, kargs, h_proj, N, draws, rng = setup
+    y = jnp.asarray(rng.normal(size=(draws * N, model.size)).astype(np.float32))
+
+    z_k, ld_k = fused_flow(
+        y, h_proj, **kargs, inverse=False, n_cond=N, block_b=2 * N, interpret=True
+    )
+
+    # XLA reference: replicate model.forward with the precomputed h
+    y3 = y.reshape(draws, N, model.size)
+
+    def fwd(yy):
+        with jax.default_matmul_precision("highest"):
+            # replicate model.forward but with precomputed h
+            blocks, projs = model._block_xs(params, h)
+            ld = jnp.zeros(yy.shape[:-1])
+            def body(carry, xs):
+                y_, l_ = carry
+                blk, proj, _ = xs
+                y_, l_an = model.actnorm.forward(blk["actnorm"], y_)
+                l_ = l_ + l_an
+                y_, l_c = model.coupling.forward(blk["coupling"], y_, h, proj, None, False)
+                l_ = l_ + l_c
+                y_ = y_ @ blk["ortho"]
+                return (y_, l_ + 0.0), None
+            n_inner = model.n_blocks - 1
+            (y_, ld), _ = jax.lax.scan(
+                body, (yy, ld), (blocks, projs, jnp.zeros((n_inner,)))
+            )
+            fin_proj = model.coupling.cond_proj(params["final"], h)
+            y_, l_f = model.coupling.forward(params["final"], y_, h, fin_proj, None, False)
+            return y_, ld + l_f
+
+    z_ref = np.zeros_like(np.asarray(z_k).reshape(draws, N, model.size))
+    ld_ref = np.zeros((draws, N), dtype=np.float32)
+    for d in range(draws):
+        zz, ll = fwd(y3[d])
+        z_ref[d] = np.asarray(zz)
+        ld_ref[d] = np.asarray(ll)
+
+    np.testing.assert_allclose(
+        np.asarray(z_k).reshape(draws, N, -1), z_ref, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ld_k).reshape(draws, N), ld_ref, atol=1e-4
+    )
+
+
+def test_fused_inverse_roundtrip(setup):
+    model, params, h, kargs, h_proj, N, draws, rng = setup
+    y = jnp.asarray(rng.normal(size=(draws * N, model.size)).astype(np.float32))
+    z_k, _ = fused_flow(
+        y, h_proj, **kargs, inverse=False, n_cond=N, block_b=2 * N, interpret=True
+    )
+    y_rec = fused_flow(
+        z_k, h_proj, **kargs, inverse=True, n_cond=N, block_b=2 * N, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(y_rec), np.asarray(y), atol=5e-4)
+
+
+def test_fused_inverse_matches_xla_inverse(setup):
+    model, params, h, kargs, h_proj, N, draws, rng = setup
+    z = jnp.asarray(rng.normal(size=(draws * N, model.size)).astype(np.float32))
+    y_k = fused_flow(
+        z, h_proj, **kargs, inverse=True, n_cond=N, block_b=2 * N, interpret=True
+    )
+    z3 = z.reshape(draws, N, model.size)
+    y_ref = jax.vmap(lambda zz: model.inverse_given_h(params, zz, h))(z3)
+    np.testing.assert_allclose(
+        np.asarray(y_k).reshape(draws, N, -1), np.asarray(y_ref), atol=1e-4
+    )
+
+
+def test_cond_chunking_small_blocks(setup):
+    """block_b < N path (condition chunk sliced per tile)."""
+    model, params, h, kargs, h_proj, N, draws, rng = setup
+    z = jnp.asarray(rng.normal(size=(draws * N, model.size)).astype(np.float32))
+    y_big = fused_flow(z, h_proj, **kargs, inverse=True, n_cond=N, block_b=4 * N, interpret=True)
+    y_small = fused_flow(z, h_proj, **kargs, inverse=True, n_cond=N, block_b=N // 2, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_small), np.asarray(y_big), atol=1e-5)
+
+
+def test_model_sample_uses_fused_path(setup):
+    model, params, h, kargs, h_proj, N, draws, rng = setup
+    cond = jnp.asarray(rng.normal(size=(N, 6)).astype(np.float32))
+    ref = model.sample(params, jax.random.key(3), 64, cond)
+    assert ref.shape == (64, N, model.size)
+    # sample()'s fused path flattens draws-major; verify the same layout
+    # through the kernel (interpret mode) matches the XLA inverse.
+    z = jax.random.normal(jax.random.key(3), (64, N, model.size))
+    y_k = fused_flow(
+        z.reshape(64 * N, model.size), h_proj, **kargs,
+        inverse=True, n_cond=N, block_b=64, interpret=True,
+    ).reshape(64, N, model.size)
+    y_ref = jax.vmap(lambda zz: model.inverse_given_h(params, zz, h))(z)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref), atol=1e-4)
