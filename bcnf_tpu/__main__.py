@@ -240,8 +240,6 @@ def _cmd_eval(args: argparse.Namespace) -> None:
         config_path = json.load(f)["config_path"]
     config = load_config(config_path)
     model = CondRealNVP.from_config(config)
-    if getattr(args, "precision", None):
-        model.precision = args.precision
     with open(os.path.join(args.model_dir, "params.pkl"), "rb") as f:
         params = jax.tree.map(jnp.asarray, pickle.load(f))
 
@@ -265,6 +263,12 @@ def _cmd_eval(args: argparse.Namespace) -> None:
         nlls.append(np.asarray(inn_nll_loss(z, ld, reduction="none")))
     test_nll = float(np.concatenate(nlls).mean())
     print(f"test NLL: {test_nll:.3f}")
+
+    # Sampling-only precision override: applied AFTER the NLL pass so NLL
+    # numbers stay comparable to default-precision runs; affects only the
+    # posterior-sampling paths below (calibration + resimulation).
+    if getattr(args, "precision", None):
+        model.precision = args.precision
 
     # calibration (reference protocol: M posterior samples, 32-bin ranks)
     ranks = compute_y_hat_ranks(

@@ -80,6 +80,7 @@ class NestedMLP:
         self.n_conditions = n_conditions
         self.dims = [sizes[0] + n_conditions] + list(sizes[1:-1]) + [sizes[-1] * n_output_parameters]
         self.family = get_dense_layer(layer, layer_kwargs)
+        self.activation_name = activation
         self.act = get_activation(activation, **(activation_kwargs or {}))
         self.dropout_rate = dropout
         # The first-layer split trick requires a plain linear-style first layer.
@@ -265,9 +266,15 @@ class AffineCoupling:
 
     @property
     def fusable(self) -> bool:
-        """Whether the Pallas fused kernel covers this coupling (one-way,
-        Linear conditioner family)."""
-        return self.nn_b is None and self.nn_a.family.name == "Linear"
+        """Whether the Pallas fused kernel covers this coupling: one-way,
+        Linear conditioner family, and GELU activation — the kernels
+        (ops/flow_kernel.py, ops/coupling_kernel.py) hardcode GELU, so any
+        other activation must take the XLA path."""
+        return (
+            self.nn_b is None
+            and self.nn_a.family.name == "Linear"
+            and self.nn_a.activation_name == "GELU"
+        )
 
     def forward_fused(self, params: Params, y: jnp.ndarray, h_proj: dict) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Pallas fast path (eval only: no dropout); see ops/coupling_kernel.py."""
@@ -620,11 +627,16 @@ class CondRealNVP:
 
     def _use_fused(self, train: bool) -> bool:
         """Pallas fast path applies at eval time (no dropout inside the
-        kernel) for one-way Linear affine couplings with conditions."""
+        kernel) for one-way Linear GELU affine couplings with conditions.
+        Structural guards: `stack_flow_params` needs at least one inner block
+        (`params["blocks"]`) and at least two nested hidden layers (the
+        middle-weight stack `wm` would otherwise be empty)."""
         return (
             self.use_pallas
             and not train
             and self.n_conditions > 0
+            and self.n_blocks > 1
+            and len(self.nested_sizes) >= 2
             and getattr(self.coupling, "fusable", False)
         )
 
@@ -797,15 +809,28 @@ class CondRealNVP:
                 return y.reshape(n_samples, N, self.size)
         return jax.vmap(lambda zz: self.inverse_given_h(params, zz, h))(z)
 
+    # matmul-precision string -> fused-kernel dot mode; anything missing here
+    # (e.g. X6/F32_F32_F32 algorithm strings) falls back to the XLA path so
+    # the kernel never silently degrades numerics (round-1 advisor finding).
+    _FUSED_PRECISION_MODES = {
+        "highest": "highest",
+        "float32": "highest",
+        "default": "default",
+        "bfloat16": "default",
+        "BF16_BF16_F32_X3": "x3",
+    }
+
     def _fused_flow_args(self, params: Params, h: jnp.ndarray) -> tuple[dict, jnp.ndarray]:
         """Stacked kernel args + (K+1, N, H) condition projections for the
-        whole-flow Pallas kernel (ops/flow_kernel.py)."""
-        from bcnf_tpu.ops.flow_kernel import stack_flow_params
+        whole-flow Pallas kernel (ops/flow_kernel.py), with the hidden width
+        zero-padded to a 128-lane multiple so MXU tiles are fully used."""
+        from bcnf_tpu.ops.flow_kernel import pad_hidden, stack_flow_params
 
         kargs = stack_flow_params(self, params)
         proj_blocks = self.coupling.cond_proj(params["blocks"]["coupling"], h)["a"][0]
         proj_final = self.coupling.cond_proj(params["final"], h)["a"][0]
         h_proj = jnp.concatenate([proj_blocks, proj_final[None]], axis=0)
+        kargs, h_proj = pad_hidden(kargs, h_proj)
         return kargs, h_proj
 
     def inverse_fused_flow(
@@ -813,20 +838,26 @@ class CondRealNVP:
     ) -> jnp.ndarray | None:
         """Whole-flow fused inverse over draws-major flattened rows
         (row = draw * N + cond). Returns None when the batch/condition
-        layout doesn't satisfy the kernel's tiling contract."""
+        layout or the requested matmul precision isn't supported by the
+        kernel (callers then take the XLA path)."""
         from bcnf_tpu.ops.flow_kernel import fused_flow
 
+        mode = self._FUSED_PRECISION_MODES.get(self.precision)
+        if mode is None:
+            return None
         N = h.shape[0]
         B = z_flat.shape[0]
         bb = min(block_b, B)
         if not (B % bb == 0 and (N % bb == 0 or bb % N == 0)):
             return None
-        kargs, h_proj = self._fused_flow_args(params, h)
-        with jax.default_matmul_precision(self.precision):
+        # h_proj einsum + padding run inside the context too: at x3/highest
+        # the projections must not silently drop to bf16.
+        with jax.default_matmul_precision("highest" if mode == "x3" else self.precision):
+            kargs, h_proj = self._fused_flow_args(params, h)
             return fused_flow(
                 z_flat, h_proj, **kargs,
                 inverse=True, n_cond=N, block_b=bb,
-                precision="highest" if self.precision in ("highest", "float32") else "default",
+                precision=mode,
             )
 
 

@@ -246,8 +246,8 @@ class Transformer(FeatureNetwork):
         self.add_positional_embeddings = add_positional_embeddings
 
     def init(self, key: jax.Array) -> Params:
-        ke, ko = jax.random.split(key)
-        block_keys = jax.random.split(key, self.n_blocks)
+        ke, ko, kb = jax.random.split(key, 3)
+        block_keys = jax.random.split(kb, self.n_blocks)
         return {
             "embed": linear_init(ke, self.input_size, self.trf_size),
             "blocks": [

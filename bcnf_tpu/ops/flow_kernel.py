@@ -39,22 +39,32 @@ def _eye_like(size: int, dtype: Any) -> jnp.ndarray:
     return (rows == cols).astype(dtype)
 
 
+def _dot(x, w, mode):
+    """Matmul at the requested fidelity. `"x3"` is the BF16_BF16_F32_X3
+    algorithm written out by hand (Pallas dots don't take DotAlgorithm
+    presets): split each f32 operand into a bf16 high part and a bf16
+    residual, then sum the three significant bf16xbf16->f32 products —
+    ~2e-3 relative error at 3 MXU passes instead of HIGHEST's 6."""
+    if mode == "x3":
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        wh = w.astype(jnp.bfloat16)
+        wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+        return d(xh, wh) + (d(xh, wl) + d(xl, wh))
+    prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[mode]
+    return jnp.dot(x, w, precision=prec, preferred_element_type=jnp.float32)
+
+
 def _mlp(x_a, h_proj, w1y_ref, b1_ref, wm_ref, bm_ref, wout_ref, bout_ref, n_hidden, prec):
     """The coupling MLP chain for one block (weights have leading block dim 1)."""
-    x = jax.nn.gelu(
-        jnp.dot(x_a, w1y_ref[0], precision=prec, preferred_element_type=jnp.float32)
-        + b1_ref[0, 0][None, :]
-        + h_proj
-    )
+    x = jax.nn.gelu(_dot(x_a, w1y_ref[0], prec) + b1_ref[0, 0][None, :] + h_proj)
     for i in range(n_hidden):
-        x = jax.nn.gelu(
-            jnp.dot(x, wm_ref[0, i], precision=prec, preferred_element_type=jnp.float32)
-            + bm_ref[0, i][None, :]
-        )
-    return (
-        jnp.dot(x, wout_ref[0], precision=prec, preferred_element_type=jnp.float32)
-        + bout_ref[0, 0][None, :]
-    )
+        x = jax.nn.gelu(_dot(x, wm_ref[0, i], prec) + bm_ref[0, i][None, :])
+    return _dot(x, wout_ref[0], prec) + bout_ref[0, 0][None, :]
 
 
 def _flow_kernel(
@@ -196,10 +206,9 @@ def fused_flow(
     bout = bout[:, None, :]
 
     grid = (B // block_b, n_steps)
-    prec = {
-        "default": jax.lax.Precision.DEFAULT,
-        "highest": jax.lax.Precision.HIGHEST,
-    }[precision]
+    if precision not in ("default", "highest", "x3"):
+        raise ValueError(f"Unsupported fused-kernel precision mode: {precision}")
+    prec = precision
 
     # block index along the stacked-weights axis: forward visits 0..K in
     # order (final last); inverse visits K (final) then K-1..0.

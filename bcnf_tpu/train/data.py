@@ -144,6 +144,28 @@ class DeviceDataset:
             idx = perm[n_full * batch_size:]
             yield jnp.take(self.y, idx, axis=0), [jnp.take(c, idx, axis=0) for c in self.conditions]
 
+    def batches_padded(
+        self, batch_size: int
+    ) -> Iterator[tuple[jnp.ndarray, list[jnp.ndarray], jnp.ndarray]]:
+        """Yield `(y, conditions, weights)` with every batch padded to a fixed
+        `batch_size` so a jitted step compiles exactly once.
+
+        Pad rows wrap around to the start of the dataset and carry weight 0;
+        consumers compute weighted means for exact metrics.
+        """
+        n_total = ((self.n + batch_size - 1) // batch_size) * batch_size
+        pos = jnp.arange(n_total)
+        idx_all = pos % self.n
+        w_all = (pos < self.n).astype(jnp.float32)
+        for i in range(n_total // batch_size):
+            sl = slice(i * batch_size, (i + 1) * batch_size)
+            idx = idx_all[sl]
+            yield (
+                jnp.take(self.y, idx, axis=0),
+                [jnp.take(c, idx, axis=0) for c in self.conditions],
+                w_all[sl],
+            )
+
     def n_batches(self, batch_size: int, drop_remainder: bool = False) -> int:
         if drop_remainder:
             return self.n // batch_size

@@ -137,21 +137,27 @@ class Trainer:
             return params, opt_state, metrics
 
         @jax.jit
-        def val_step(params: Any, y: jnp.ndarray, conditions: tuple) -> tuple:
+        def val_step(params: Any, y: jnp.ndarray, conditions: tuple, w: jnp.ndarray) -> tuple:
+            # `w` is 1 for real rows, 0 for wrap-around pad rows: every batch
+            # has the same static shape, so this compiles exactly once.
             if n_cond > 0:
                 z, log_det, h = model.forward(params, y, *conditions, return_features=True)
             else:
                 z, log_det = model.forward(params, y)
                 h = None
-            nll = self.loss_function(z, log_det)
+            wsum = jnp.sum(w)
+            per_example = self.loss_function(z, log_det, reduction="none")
+            nll = jnp.sum(w * per_example) / wsum
             if hybrid_weight > 0 and h is not None:
                 y_hat = model.predict_head(params, h)
-                mse = jnp.mean((y_hat - y) ** 2)
+                mse = jnp.sum(w[:, None] * (y_hat - y) ** 2) / (wsum * y.shape[1])
             else:
                 mse = jnp.zeros(())
             loss = (nll + mse * hybrid_weight) / (1 + hybrid_weight)
-            metrics = jnp.stack([loss, nll, mse, jnp.mean(log_det)])
-            return metrics, z.mean(axis=0), z.std(axis=0)
+            metrics = jnp.stack([loss, nll, mse, jnp.sum(w * log_det) / wsum])
+            z_mean = jnp.sum(w[:, None] * z, axis=0) / wsum
+            z_var = jnp.sum(w[:, None] * (z - z_mean) ** 2, axis=0) / wsum
+            return metrics, wsum, z_mean, jnp.sqrt(z_var)
 
         return train_step, val_step
 
@@ -262,19 +268,22 @@ class Trainer:
                     f"Loss exploded to {train_loss} at epoch {epoch}"
                 )
 
-            # ---- validation pass
-            val_metrics, z_means, z_stds = [], [], []
-            for by, bc in val_set.batches(batch_size, drop_remainder=False):
+            # ---- validation pass (fixed-shape padded batches: compiles once)
+            val_metrics, val_wsums, z_means, z_stds = [], [], [], []
+            for by, bc, bw in val_set.batches_padded(batch_size):
                 if self.mesh is not None:
                     by, bc = shard_batch(self.mesh, (by, tuple(bc)))
-                metrics, z_mean, z_std = val_step(params, by, tuple(bc))
+                metrics, wsum, z_mean, z_std = val_step(params, by, tuple(bc), bw)
                 val_metrics.append(metrics)
+                val_wsums.append(wsum)
                 z_means.append(z_mean)
                 z_stds.append(z_std)
-            vm = np.mean(jax.device_get(jnp.stack(val_metrics)), axis=0)
+            ws = np.asarray(jax.device_get(jnp.stack(val_wsums)), dtype=np.float64)
+            ws /= ws.sum()
+            vm = np.average(jax.device_get(jnp.stack(val_metrics)), axis=0, weights=ws)
             val_loss, val_nll, val_mse, val_ld = (float(v) for v in vm)
-            z_mean = np.mean(jax.device_get(jnp.stack(z_means)), axis=0)
-            z_std = np.mean(jax.device_get(jnp.stack(z_stds)), axis=0)
+            z_mean = np.average(jax.device_get(jnp.stack(z_means)), axis=0, weights=ws)
+            z_std = np.average(jax.device_get(jnp.stack(z_stds)), axis=0, weights=ws)
 
             ms.update_rolling_validation_loss(val_loss)
             if keep_best and np.isfinite(val_loss) and val_loss < best_val:

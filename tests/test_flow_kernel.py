@@ -127,6 +127,62 @@ def test_cond_chunking_small_blocks(setup):
     np.testing.assert_allclose(np.asarray(y_small), np.asarray(y_big), atol=1e-5)
 
 
+def test_fused_x3_mode_accuracy(setup):
+    """The hand-written BF16_BF16_F32_X3 dot decomposition must land within
+    ~2e-3 of the f32 kernel (the advertised X3 fidelity), far better than
+    plain bf16 (~1e-1 at this depth)."""
+    model, params, h, kargs, h_proj, N, draws, rng = setup
+    z = jnp.asarray(rng.normal(size=(draws * N, model.size)).astype(np.float32))
+    y_f32 = fused_flow(z, h_proj, **kargs, inverse=True, n_cond=N, block_b=2 * N,
+                       precision="highest", interpret=True)
+    y_x3 = fused_flow(z, h_proj, **kargs, inverse=True, n_cond=N, block_b=2 * N,
+                      precision="x3", interpret=True)
+    err = np.abs(np.asarray(y_x3) - np.asarray(y_f32)).max()
+    assert err < 5e-3, f"x3 error too large: {err}"
+
+
+def test_unsupported_precision_falls_back_to_xla(setup):
+    """inverse_fused_flow returns None for precision strings the kernel has
+    no mode for (round-1 advisor: X6 silently ran plain bf16)."""
+    model, params, h, kargs, h_proj, N, draws, rng = setup
+    z = jnp.asarray(rng.normal(size=(draws * N, model.size)).astype(np.float32))
+    old = model.precision
+    try:
+        model.precision = "BF16_BF16_F32_X6"
+        assert model.inverse_fused_flow(params, z, h) is None
+    finally:
+        model.precision = old
+
+
+def test_non_gelu_coupling_not_fusable():
+    """The kernels hardcode GELU; any other activation must fail the gate
+    (round-1 advisor: non-GELU configs would silently produce wrong samples)."""
+    stack = FeatureNetworkStack(
+        [
+            ConcatenateCondition(input_size=None, output_size=6),
+            FullyConnectedFeatureNetwork(sizes=[6, 32, 16]),
+        ]
+    )
+    model = CondRealNVP(
+        size=7, nested_sizes=[24, 24], n_blocks=4, n_conditions=16,
+        feature_network_stack=stack, activation="ReLU", use_pallas=True,
+    )
+    assert not model.coupling.fusable
+    assert not model._use_fused(train=False)
+
+
+def test_structural_gate_small_configs():
+    """n_blocks == 1 or a single nested hidden layer cannot be stacked;
+    _use_fused must route those to XLA instead of crashing."""
+    kw = dict(size=7, n_conditions=16, use_pallas=True,
+              feature_network_stack=FeatureNetworkStack(
+                  [ConcatenateCondition(input_size=None, output_size=6),
+                   FullyConnectedFeatureNetwork(sizes=[6, 32, 16])]))
+    assert not CondRealNVP(nested_sizes=[24, 24], n_blocks=1, **kw)._use_fused(train=False)
+    assert not CondRealNVP(nested_sizes=[24], n_blocks=4, **kw)._use_fused(train=False)
+    assert CondRealNVP(nested_sizes=[24, 24], n_blocks=4, **kw)._use_fused(train=False)
+
+
 def test_model_sample_uses_fused_path(setup):
     model, params, h, kargs, h_proj, N, draws, rng = setup
     cond = jnp.asarray(rng.normal(size=(N, 6)).astype(np.float32))
