@@ -555,6 +555,44 @@ class CondRealNVP:
     def n_params(self, params: Params) -> int:
         return count_params(params)
 
+    def init_actnorm(
+        self, params: Params, y: jnp.ndarray, *conditions: jnp.ndarray, eps: float = 1e-6
+    ) -> Params:
+        """Glow-style data-dependent ActNorm initialization (fixes SURVEY.md
+        Q7: the reference initializes scale=1/bias=0, `src/bcnf/models/cnf.py:342-354`,
+        which lets scales drift to f32 overflow under long training).
+
+        Walks the stack once with a data batch, setting each ActNorm's scale
+        to 1/std and bias to -mean/std of its *own input*, so every block sees
+        a zero-mean unit-variance activation at step 0. Returns updated params.
+        """
+        if self.actnorm is None:
+            return params
+        blocks = params.get("blocks")
+        if blocks is None or "actnorm" not in blocks:
+            return params
+        h = self.encode(params, conditions) if self.features is not None else None
+        scale = blocks["actnorm"]["scale"]
+        bias = blocks["actnorm"]["bias"]
+        x = y
+        n_inner = self.n_blocks - 1
+        with jax.default_matmul_precision(self.precision):
+            for i in range(n_inner):
+                mu = jnp.mean(x, axis=0)
+                sd = jnp.std(x, axis=0) + eps
+                s_i, b_i = 1.0 / sd, -mu / sd
+                scale = scale.at[i].set(s_i)
+                bias = bias.at[i].set(b_i)
+                x = x * s_i + b_i
+                cp_i = jax.tree.map(lambda p: p[i], blocks["coupling"])
+                x, _ = self.coupling.forward(cp_i, x, h)
+                x = x @ blocks["ortho"][i]
+        new_blocks = dict(blocks)
+        new_blocks["actnorm"] = {"scale": scale, "bias": bias}
+        new_params = dict(params)
+        new_params["blocks"] = new_blocks
+        return new_params
+
     def verify(self) -> None:
         """Shape-chain check over the feature networks (reference `cnf.py:425-440`)."""
         if self.features is None:

@@ -195,6 +195,21 @@ class Trainer:
         if params is None:
             key, init_key = jax.random.split(key)
             params = model.init(init_key)
+        # Glow-style data-dependent ActNorm init (SURVEY.md Q7 fix): applied
+        # only when the scales are still at their 1.0 default, so resumed or
+        # pre-trained parameter trees are never clobbered.
+        if (
+            bool(cfg_t.get("actnorm_data_init", True))
+            and hasattr(model, "init_actnorm")
+            and getattr(model, "actnorm", None) is not None
+            and "blocks" in params
+            and "actnorm" in params["blocks"]
+            and bool(jnp.all(params["blocks"]["actnorm"]["scale"] == 1.0))
+        ):
+            nb = min(1024, train_set.n)
+            params = model.init_actnorm(
+                params, train_set.y[:nb], *[c[:nb] for c in train_set.conditions]
+            )
         params = replicate(self.mesh, params)
         opt_state = replicate(self.mesh, optimizer.init(params))
 
@@ -229,16 +244,20 @@ class Trainer:
         # Divergence policy: "raise" mirrors the reference
         # (`trainer.py:168-169` raises TrainingDivergedError mid-run, losing
         # the model); "stop" ends training gracefully and returns the best
-        # parameters seen (new failure-recovery capability, SURVEY.md 5.3).
+        # parameters seen; "rescue" restores the best parameters, halves the
+        # learning rate, and keeps training — elastic recovery the reference
+        # lacks entirely (SURVEY.md 5.3).
         on_divergence = cfg_t.get("on_divergence", "raise")
         keep_best = bool(cfg_t.get("keep_best", False))
+        track_best = keep_best or on_divergence == "rescue"
         best_params = None
         best_val = float("inf")
+        n_rescues = 0
         start_time = time.time()
         step = 0
 
         def finish(p: Any) -> Any:
-            return best_params if (keep_best and best_params is not None) else p
+            return best_params if (track_best and best_params is not None) else p
 
         # a dataset smaller than the batch would otherwise yield zero
         # (drop_remainder) training batches per epoch
@@ -260,8 +279,29 @@ class Trainer:
             tm = np.mean(jax.device_get(jnp.stack(train_metrics)), axis=0)
             train_loss, train_nll, train_mse = float(tm[0]), float(tm[1]), float(tm[2])
 
-            if (train_loss > 1e5 or np.isnan(train_loss)) and epoch > 10:
-                if on_divergence == "stop":
+            diverged = train_loss > 1e5 or not np.isfinite(train_loss)
+            if diverged and on_divergence == "rescue" and best_params is not None:
+                # Elastic recovery: restore the best parameters, reset the
+                # optimizer, and halve the learning rate. Stops at an lr
+                # floor so a pathological run still terminates.
+                lr_now = get_learning_rate(opt_state)
+                new_lr = lr_now * 0.5
+                params = jax.tree.map(jnp.copy, best_params)
+                opt_state = replicate(self.mesh, optimizer.init(params))
+                opt_state = set_learning_rate(opt_state, new_lr)
+                n_rescues += 1
+                ms.parameter_history.setdefault("rescues", []).append(
+                    {"epoch": epoch, "lr": float(new_lr)}
+                )
+                if self.verbose:
+                    print(f"[rescue {n_rescues}] diverged at epoch {epoch}; "
+                          f"restored best params, lr -> {new_lr:.2e}")
+                if new_lr < 1e-8:
+                    ms.parameter_history["stop_reason"] = "rescue_lr_floor"
+                    return finish(params)
+                continue
+            if diverged and epoch > 10:
+                if on_divergence in ("stop", "rescue"):
                     ms.parameter_history["stop_reason"] = "diverged"
                     return finish(params)
                 raise TrainingDivergedError(
@@ -286,7 +326,7 @@ class Trainer:
             z_std = np.average(jax.device_get(jnp.stack(z_stds)), axis=0, weights=ws)
 
             ms.update_rolling_validation_loss(val_loss)
-            if keep_best and np.isfinite(val_loss) and val_loss < best_val:
+            if track_best and np.isfinite(val_loss) and val_loss < best_val:
                 best_val = val_loss
                 best_params = jax.tree.map(jnp.copy, params)
 

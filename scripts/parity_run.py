@@ -48,9 +48,11 @@ def main() -> None:
     cfg["training"]["timeout"] = timeout
     # The NLL objective is unbounded below for this (noise-free, deterministic
     # simulator) setup — the condition nearly determines theta, so effective
-    # training drives val NLL past the reference's published numbers and
-    # eventually into f32 explosion. Stop gracefully and keep the best params.
-    cfg["training"]["on_divergence"] = "stop"
+    # training drives val NLL far past the reference's published numbers.
+    # Data-dependent ActNorm init (Q7 fix, trainer default) plus the elastic
+    # "rescue" policy (restore best params, halve lr on any divergence) keep
+    # the run improving until plateau/timeout instead of dying on overflow.
+    cfg["training"]["on_divergence"] = "rescue"
     cfg["training"]["keep_best"] = True
 
     data_dir = os.path.expanduser("~/bcnf_data")

@@ -150,3 +150,57 @@ def test_hybrid_training_runs():
     trainer.train(model)
     hist = trainer.meta_scheduler.parameter_history
     assert all(v > 0 for _, v in hist["train_loss_mse"])  # MSE head active
+
+
+def test_actnorm_data_init_normalizes():
+    """Glow-style init (Q7 fix): after init_actnorm, the first ActNorm output
+    on the init batch is ~N(0,1) per dimension, and the flow stays invertible."""
+    import jax.numpy as jnp
+
+    model = _toy_model()
+    y, conds = _toy_data()
+    params = model.init(jax.random.key(0))
+    params2 = model.init_actnorm(params, jnp.asarray(y), jnp.asarray(conds[0]))
+
+    an = params2["blocks"]["actnorm"]
+    x0 = jnp.asarray(y) * an["scale"][0] + an["bias"][0]
+    np.testing.assert_allclose(np.asarray(x0.mean(axis=0)), 0.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x0.std(axis=0)), 1.0, atol=1e-3)
+    # scales actually changed, and the flow still round-trips
+    assert not np.allclose(np.asarray(an["scale"]), 1.0)
+    z, _ = model.forward(params2, jnp.asarray(y[:16]), jnp.asarray(conds[0][:16]))
+    y_rec = model.inverse(params2, z, jnp.asarray(conds[0][:16]))
+    np.testing.assert_allclose(np.asarray(y_rec), y[:16], atol=1e-4)
+
+
+def test_trainer_applies_actnorm_init_once():
+    """The trainer applies data-dependent init only to fresh (scale==1)
+    parameters, never to resumed/pre-trained trees."""
+    model = _toy_model()
+    trainer = Trainer(_config(n_epochs=1), data=_toy_data(), verbose=False)
+    params = trainer.train(model)
+    scale = np.asarray(params["blocks"]["actnorm"]["scale"])
+    assert not np.allclose(scale, 1.0)  # data init ran
+
+    # a pre-trained tree (scales != 1) must pass through untouched:
+    trainer2 = Trainer(_config(n_epochs=0), data=_toy_data(), verbose=False)
+    params2 = trainer2.train(model, params)
+    np.testing.assert_array_equal(np.asarray(params2["blocks"]["actnorm"]["scale"]), scale)
+
+
+def test_divergence_rescue():
+    """on_divergence='rescue': a diverging run restores best params, halves
+    the lr, and never ends with stop_reason='diverged'."""
+    model = _toy_model()
+    # absurd lr after a sane first epoch: warm up at 5e-3 would never
+    # diverge, so drive it with lr large enough to explode within epochs
+    cfg = _config(n_epochs=40, on_divergence="rescue", keep_best=True)
+    cfg["optimizer"]["kwargs"]["lr"] = 5.0
+    trainer = Trainer(cfg, data=_toy_data(), verbose=False)
+    params = trainer.train(model)
+    hist = trainer.meta_scheduler.parameter_history
+    assert hist["stop_reason"] != "diverged"
+    # the returned parameters are finite even though training exploded
+    assert np.all([np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(params)])
+    if "rescues" in hist:  # lr=5.0 reliably explodes, but don't overfit to it
+        assert hist["rescues"][0]["lr"] < 5.0
