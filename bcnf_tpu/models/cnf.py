@@ -484,7 +484,8 @@ class CondRealNVP:
         coupling: str = "affine",
         coupling_kwargs: dict | None = None,
         precision: str = "highest",
-        use_pallas: bool = False,
+        use_pallas: bool = True,
+        pallas_strict: bool = False,
     ) -> None:
         self.size = size
         self.nested_sizes = list(nested_sizes)
@@ -502,7 +503,16 @@ class CondRealNVP:
         # invertibility (inverse(forward(y)) != y at 1e-2) — "highest" forces
         # f32 accumulation. Set "default" to trade fidelity for MXU speed.
         self.precision = precision
+        # Pallas fused whole-flow kernel for posterior sampling: ON by
+        # default since round 2 — it beats the XLA path at every precision
+        # tier (results/flow_kernel_bench.json) and falls back to XLA for
+        # any unsupported config/layout/precision automatically.
         self.use_pallas = use_pallas
+        self.pallas_strict = pallas_strict
+        # The per-coupling fused kernel (ops/coupling_kernel.py) loses to XLA
+        # for published shapes (PARITY.md round 1) — opt-in only; the
+        # whole-flow kernel above is the production fast path.
+        self.use_pallas_coupling = False
 
         common = dict(
             input_size=size,
@@ -676,7 +686,12 @@ class CondRealNVP:
             and self.n_blocks > 1
             and len(self.nested_sizes) >= 2
             and getattr(self.coupling, "fusable", False)
+            and jax.default_backend() == "tpu"
         )
+
+    def _use_fused_coupling(self, train: bool) -> bool:
+        """Per-coupling kernel gate (opt-in; see use_pallas_coupling)."""
+        return self.use_pallas_coupling and self._use_fused(train)
 
     def _block_xs(self, params: Params, h: jnp.ndarray | None) -> tuple[Params | None, dict | None]:
         """Per-block scan inputs: stacked params (+ hoisted condition
@@ -702,7 +717,7 @@ class CondRealNVP:
         r_feat, r_blocks, r_final, _ = self._rngs(rng)
         h = self.encode(params, conditions, r_feat, train) if self.features is not None else None
 
-        fused = self._use_fused(train)
+        fused = self._use_fused_coupling(train)
         with jax.default_matmul_precision(self.precision):
             log_det = jnp.zeros(y.shape[:-1])
             blocks, projs = self._block_xs(params, h)
@@ -766,7 +781,7 @@ class CondRealNVP:
         conditions once and reuse across many z draws (posterior sampling)."""
         _, r_blocks, r_final, _ = self._rngs(rng)
 
-        fused = self._use_fused(train)
+        fused = self._use_fused_coupling(train)
         with jax.default_matmul_precision(self.precision):
             final_proj = self.coupling.cond_proj(params["final"], h) if h is not None else None
             if fused and final_proj is not None:
@@ -850,12 +865,24 @@ class CondRealNVP:
     # matmul-precision string -> fused-kernel dot mode; anything missing here
     # (e.g. X6/F32_F32_F32 algorithm strings) falls back to the XLA path so
     # the kernel never silently degrades numerics (round-1 advisor finding).
+    #
+    # Mode choice is driven by measurement on the flagship model
+    # (results/flow_kernel_bench.json, 1x v5e):
+    # - "x3" (hand-written bf16x3 decomposition) measures 3.8e-6 max |dy| vs
+    #   the f32 XLA path — indistinguishable from the exact-f32 kernel mode's
+    #   3.1e-6 (both dominated by non-matmul rounding) at 1.8x its speed, so
+    #   it serves the highest/float32 contract. Set `pallas_strict=True` on
+    #   the model to force the exact-f32 kernel mode instead.
+    # - Mosaic lowers an f32 DEFAULT-precision dot as ~3 bf16 passes
+    #   (measured 2.5e-3 per-dot rel err == the BF16_BF16_F32_X3 class), so
+    #   the X3 string maps to kernel "default": 4e-4 end-to-end, 2x faster
+    #   than the explicit 3-dot decomposition.
     _FUSED_PRECISION_MODES = {
-        "highest": "highest",
-        "float32": "highest",
+        "highest": "x3",
+        "float32": "x3",
         "default": "default",
         "bfloat16": "default",
-        "BF16_BF16_F32_X3": "x3",
+        "BF16_BF16_F32_X3": "default",
     }
 
     def _fused_flow_args(self, params: Params, h: jnp.ndarray) -> tuple[dict, jnp.ndarray]:
@@ -883,20 +910,29 @@ class CondRealNVP:
         mode = self._FUSED_PRECISION_MODES.get(self.precision)
         if mode is None:
             return None
+        if getattr(self, "pallas_strict", False) and self.precision in ("highest", "float32"):
+            mode = "highest"
         N = h.shape[0]
         B = z_flat.shape[0]
         bb = min(block_b, B)
-        if not (B % bb == 0 and (N % bb == 0 or bb % N == 0)):
+        if not (N % bb == 0 or bb % N == 0):
             return None
+        # Pad the row count up to a tile multiple with wrap-around rows
+        # (draws-major layout keeps real rows' condition mapping intact; the
+        # pad rows are computed on duplicated z and sliced off).
+        Bp = ((B + bb - 1) // bb) * bb
+        if Bp != B:
+            z_flat = jnp.concatenate([z_flat, z_flat[: Bp - B]], axis=0)
         # h_proj einsum + padding run inside the context too: at x3/highest
         # the projections must not silently drop to bf16.
         with jax.default_matmul_precision("highest" if mode == "x3" else self.precision):
             kargs, h_proj = self._fused_flow_args(params, h)
-            return fused_flow(
+            out = fused_flow(
                 z_flat, h_proj, **kargs,
                 inverse=True, n_cond=N, block_b=bb,
                 precision=mode,
             )
+        return out[:B] if Bp != B else out
 
 
 # Backwards-compatible alias matching the reference class name

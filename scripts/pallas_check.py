@@ -26,8 +26,10 @@ def main() -> None:
 
     scale = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     m_ref = _flagship_model(scale)
+    m_ref.use_pallas = False
     m_pal = _flagship_model(scale)
     m_pal.use_pallas = True
+    m_pal.use_pallas_coupling = True  # exercise the per-coupling kernel too
 
     params = m_ref.init(jax.random.key(0))
     rng = np.random.default_rng(0)

@@ -82,6 +82,10 @@ def test_model_pallas_path_matches_xla(monkeypatch):
         )
 
     m_ref, m_pal = build(False), build(True)
+    # the per-coupling kernel is opt-in since round 2 (whole-flow kernel is
+    # the production path), and the gate requires a TPU backend
+    m_pal.use_pallas_coupling = True
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     params = m_ref.init(jax.random.key(0))
     y = jax.random.normal(jax.random.key(1), (4, 5))
     cond = jax.random.normal(jax.random.key(2), (4, 4))

@@ -171,9 +171,10 @@ def test_non_gelu_coupling_not_fusable():
     assert not model._use_fused(train=False)
 
 
-def test_structural_gate_small_configs():
+def test_structural_gate_small_configs(monkeypatch):
     """n_blocks == 1 or a single nested hidden layer cannot be stacked;
     _use_fused must route those to XLA instead of crashing."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     kw = dict(size=7, n_conditions=16, use_pallas=True,
               feature_network_stack=FeatureNetworkStack(
                   [ConcatenateCondition(input_size=None, output_size=6),
@@ -181,6 +182,23 @@ def test_structural_gate_small_configs():
     assert not CondRealNVP(nested_sizes=[24, 24], n_blocks=1, **kw)._use_fused(train=False)
     assert not CondRealNVP(nested_sizes=[24], n_blocks=4, **kw)._use_fused(train=False)
     assert CondRealNVP(nested_sizes=[24, 24], n_blocks=4, **kw)._use_fused(train=False)
+
+
+def test_cpu_backend_falls_back_to_xla():
+    """On a non-TPU backend the fused gate must stay closed (Mosaic kernels
+    can't lower on CPU), so use_pallas=True is safe everywhere."""
+    kw = dict(size=7, n_conditions=16, use_pallas=True,
+              feature_network_stack=FeatureNetworkStack(
+                  [ConcatenateCondition(input_size=None, output_size=6),
+                   FullyConnectedFeatureNetwork(sizes=[6, 32, 16])]))
+    model = CondRealNVP(nested_sizes=[24, 24], n_blocks=4, **kw)
+    assert jax.default_backend() == "cpu"
+    assert not model._use_fused(train=False)
+    # sample() must run fine through the XLA fallback
+    params = model.init(jax.random.key(0))
+    cond = jax.random.normal(jax.random.key(1), (4, 6))
+    s = model.sample(params, jax.random.key(2), 8, cond)
+    assert s.shape == (8, 4, 7) and bool(np.isfinite(np.asarray(s)).all())
 
 
 def test_model_sample_uses_fused_path(setup):
