@@ -32,6 +32,11 @@ def main(argv: list[str] | None = None) -> None:
     train_parser.add_argument("--wandb", action="store_true", help="Also log to Weights & Biases (requires wandb)")
     train_parser.add_argument("--checkpoint-every", type=int, default=0, help="Checkpoint every N epochs (0 = off)")
     train_parser.add_argument("--seed", type=int, default=None)
+    train_parser.add_argument("--pretrained-features", type=str, default=None,
+                              help="Path to a params.pkl (or features subtree pickle) whose "
+                                   "feature-network weights initialize this model's conditioner")
+    train_parser.add_argument("--freeze-features", action="store_true",
+                              help="Zero conditioner gradients (train the flow only)")
 
     size_parser = subparsers.add_parser("size")
     size_parser.add_argument("-c", "--config", type=str, required=True)
@@ -122,8 +127,15 @@ def _cmd_train(args: argparse.Namespace) -> None:
 
         sinks.append(WandbSink(args.project, model_name, config.to_dict()))
 
+    cfg = {k.lower(): v for k, v in config.items()}
+    cfg["training"] = dict(cfg["training"])
+    if args.pretrained_features:
+        cfg["training"]["pretrained_features"] = args.pretrained_features
+    if args.freeze_features:
+        cfg["training"]["freeze_features"] = True
+
     trainer = Trainer(
-        config={k.lower(): v for k, v in config.items()},
+        config=cfg,
         project_name=args.project,
         run_name=model_name,
         parameter_index_mapping=model.parameter_index_mapping,

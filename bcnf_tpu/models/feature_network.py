@@ -134,7 +134,14 @@ class FrExpFeatureNetwork(FeatureNetwork):
 
 
 class FullyConnectedFeatureNetwork(FeatureNetwork):
-    """MLP over flattened input (reference `feature_network.py:114-145`)."""
+    """MLP over flattened input (reference `feature_network.py:114-145`).
+
+    ``flatten=False`` applies the MLP over the last axis only (per-frame),
+    expressing the reference's *legacy* two-stage schema — a per-frame
+    ``feature_network`` feeding a ``time_series_network`` (e.g.
+    `configs/runs/dev/trajectory_LSTM_large_pretrained.yaml`) — inside the
+    modern feature_networks stack.
+    """
 
     def __init__(
         self,
@@ -142,6 +149,7 @@ class FullyConnectedFeatureNetwork(FeatureNetwork):
         activation: str = "GELU",
         dropout: float = 0.0,
         batch_norm: bool = False,
+        flatten: bool = True,
     ) -> None:
         if batch_norm:
             raise NotImplementedError(
@@ -152,6 +160,7 @@ class FullyConnectedFeatureNetwork(FeatureNetwork):
         self.output_size = self.sizes[-1]
         self.act = get_activation(activation if isinstance(activation, str) else "GELU")
         self.dropout_rate = dropout
+        self.flatten = flatten
 
     def init(self, key: jax.Array) -> Params:
         if len(self.sizes) < 2:
@@ -164,7 +173,8 @@ class FullyConnectedFeatureNetwork(FeatureNetwork):
         }
 
     def apply(self, params: Params, x: jnp.ndarray, rng: jax.Array | None = None, train: bool = False) -> jnp.ndarray:
-        x = x.reshape(x.shape[0], -1)  # flatten (reference `:144`)
+        if self.flatten:
+            x = x.reshape(x.shape[0], -1)  # flatten (reference `:144`)
         layers = params["layers"]
         if not layers:
             return x

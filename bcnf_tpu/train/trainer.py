@@ -108,6 +108,7 @@ class Trainer:
     def _build_steps(self, model: Any, optimizer: Any) -> tuple[Any, Any]:
         hybrid_weight = self.hybrid_weight
         n_cond = model.n_conditions
+        freeze_features = bool(self.config["training"].get("freeze_features", False))
 
         def loss_fn(params: Any, y: jnp.ndarray, conditions: tuple, rng: jax.Array) -> tuple:
             if n_cond > 0:
@@ -131,6 +132,10 @@ class Trainer:
             (loss, (nll, mse, ld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, y, conditions, rng
             )
+            if freeze_features and "features" in grads:
+                # pretrained-conditioner workflow: flow-only training
+                grads = dict(grads)
+                grads["features"] = jax.tree.map(jnp.zeros_like, grads["features"])
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             metrics = jnp.stack([loss, nll, mse, ld])
@@ -195,6 +200,15 @@ class Trainer:
         if params is None:
             key, init_key = jax.random.split(key)
             params = model.init(init_key)
+        # Pretrained-conditioner workflow (training.pretrained_features):
+        # graft saved feature-network weights into the fresh tree.
+        pretrained_path = cfg_t.get("pretrained_features")
+        if pretrained_path:
+            from bcnf_tpu.models.pretrained import load_pretrained_features
+
+            params = load_pretrained_features(params, pretrained_path)
+            if self.verbose:
+                print(f"Loaded pretrained features from {pretrained_path}")
         # Glow-style data-dependent ActNorm init (SURVEY.md Q7 fix): applied
         # only when the scales are still at their 1.0 default, so resumed or
         # pre-trained parameter trees are never clobbered.

@@ -386,7 +386,8 @@ def make_dev_family() -> dict[str, dict]:
     # legacy schema; here: current schema + the pretrained_features key the
     # new framework actually implements)
     pre = _mk(_flow(5, 526, 26, n_conditions=1360),
-              [{"type": "FullyConnected", "kwargs": {"sizes": [3, 1000], "dropout": 0.3}},
+              [{"type": "FullyConnected",
+                "kwargs": {"sizes": [3, 1000], "dropout": 0.3, "flatten": False}},
                _LSTM(1000, 212, 1360, 2)])
     pre["training"]["val_loss_patience"] = 75
     pre["training"]["pretrained_features"] = "{{BCNF_ROOT}}/models/bcnf-models/trajectory_LSTM_large/params.pkl"
@@ -470,6 +471,8 @@ def main() -> None:
                 make_t_config(arch, tier, True),
             )
     for name, cfg in make_dev_variants().items():
+        _write(os.path.join(dev_dir, f"{name}.yaml"), cfg)
+    for name, cfg in make_dev_family().items():
         _write(os.path.join(dev_dir, f"{name}.yaml"), cfg)
 
 

@@ -76,6 +76,13 @@ def main() -> None:
     cfg["data"]["path"] = train_path
 
     model = CondRealNVP.from_config(config)
+    # optional matmul-precision override (e.g. BF16_BF16_F32_X3) for
+    # training-precision parity experiments; result file gets a suffix
+    precision = os.environ.get("BCNF_PARITY_PRECISION")
+    suffix = ""
+    if precision:
+        model.precision = precision
+        suffix = f"_{precision}"
     params = model.init(jax.random.key(0))
     print(f"[{time.time()-t0:.0f}s] {name}: {count_params(params):,} params")
 
@@ -119,6 +126,7 @@ def main() -> None:
                 break
     result = {
         "config": name,
+        "precision": precision or "highest",
         "epochs": int(n_epochs),
         "stop_reason": hist["stop_reason"],
         "train_nll": float(train_nll),
@@ -131,7 +139,7 @@ def main() -> None:
     }
     print(json.dumps(result, indent=2))
     os.makedirs("results", exist_ok=True)
-    with open(f"results/parity_{name}.json", "w") as f:
+    with open(f"results/parity_{name}{suffix}.json", "w") as f:
         json.dump(result, f, indent=2)
 
 

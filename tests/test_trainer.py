@@ -204,3 +204,47 @@ def test_divergence_rescue():
     assert np.all([np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(params)])
     if "rescues" in hist:  # lr=5.0 reliably explodes, but don't overfit to it
         assert hist["rescues"][0]["lr"] < 5.0
+
+
+def test_pretrained_features_workflow(tmp_path):
+    """training.pretrained_features grafts a saved conditioner into a fresh
+    tree; freeze_features keeps it fixed through training."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    from bcnf_tpu.models import load_pretrained_features
+
+    model = _toy_model()
+    donor = model.init(jax.random.key(7))
+    path = tmp_path / "donor.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(jax.device_get(donor), f)
+
+    fresh = model.init(jax.random.key(8))
+    grafted = load_pretrained_features(fresh, str(path))
+    for a, b in zip(jax.tree.leaves(grafted["features"]), jax.tree.leaves(donor["features"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # non-feature subtrees untouched
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(grafted["final"])[0]),
+        np.asarray(jax.tree.leaves(fresh["final"])[0]),
+    )
+
+    # structure mismatch raises
+    with open(tmp_path / "bad.pkl", "wb") as f:
+        pickle.dump({"features": {"wrong": np.zeros(3)}}, f)
+    with pytest.raises(ValueError):
+        load_pretrained_features(fresh, str(tmp_path / "bad.pkl"))
+
+    # trainer path: pretrained + frozen conditioner survives training intact
+    cfg = _config(n_epochs=3, pretrained_features=str(path), freeze_features=True)
+    trainer = Trainer(cfg, data=_toy_data(), verbose=False)
+    trained = trainer.train(model)
+    for a, b in zip(jax.tree.leaves(trained["features"]), jax.tree.leaves(donor["features"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # while the flow itself did train
+    assert not np.allclose(
+        np.asarray(jax.tree.leaves(trained["final"])[0]),
+        np.asarray(jax.tree.leaves(fresh["final"])[0]),
+    )
