@@ -37,6 +37,16 @@ def main(argv: list[str] | None = None) -> None:
                                    "feature-network weights initialize this model's conditioner")
     train_parser.add_argument("--freeze-features", action="store_true",
                               help="Zero conditioner gradients (train the flow only)")
+    train_parser.add_argument("--dp-devices", type=int, default=0,
+                              help="Data-parallel over N devices (0 = single-device). "
+                                   "Builds a 1-D mesh; params replicated, batch sharded, "
+                                   "gradients psum over ICI")
+    train_parser.add_argument("--coordinator", type=str, default=None,
+                              help="Multi-host: coordinator address host:port for jax.distributed")
+    train_parser.add_argument("--num-processes", type=int, default=None,
+                              help="Multi-host: total process count")
+    train_parser.add_argument("--process-id", type=int, default=None,
+                              help="Multi-host: this process's id")
 
     size_parser = subparsers.add_parser("size")
     size_parser.add_argument("-c", "--config", type=str, required=True)
@@ -115,6 +125,24 @@ def _cmd_train(args: argparse.Namespace) -> None:
         print(f"Output directory {resolved} already exists and is not empty. Use -f to overwrite.")
         sys.exit(1)
 
+    from bcnf_tpu.parallel import (
+        ensure_cpu_devices,
+        initialize_distributed,
+        is_host_zero,
+        make_mesh,
+    )
+
+    # Honor JAX_PLATFORMS=cpu (+ virtual device count) even though this
+    # image's sitecustomize pins the TPU plugin before user code runs
+    ensure_cpu_devices(args.dp_devices or 1)
+    # Multi-host init must precede any other jax call touching the backend
+    initialize_distributed(args.coordinator, args.num_processes, args.process_id)
+    mesh = None
+    if args.dp_devices and args.dp_devices > 1:
+        mesh = make_mesh(args.dp_devices)
+        print(f"Data-parallel mesh over {args.dp_devices} devices "
+              f"({jax.process_count()} process(es))")
+
     print(f"Using devices: {jax.devices()}")
     config = load_config(args.config)
     model = CondRealNVP.from_config(config)
@@ -133,6 +161,11 @@ def _cmd_train(args: argparse.Namespace) -> None:
         cfg["training"]["pretrained_features"] = args.pretrained_features
     if args.freeze_features:
         cfg["training"]["freeze_features"] = True
+    if mesh is not None:
+        # even sharding: round the batch down to a mesh multiple
+        n_dev = mesh.devices.size
+        bs = int(cfg["training"]["batch_size"])
+        cfg["training"]["batch_size"] = max(n_dev, bs - bs % n_dev)
 
     trainer = Trainer(
         config=cfg,
@@ -142,6 +175,7 @@ def _cmd_train(args: argparse.Namespace) -> None:
         hybrid_weight=config["global"].get("hybrid_weight", 0) or 0,
         verbose=True,
         sink=MultiSink(*sinks),
+        mesh=mesh,
         seed=args.seed,
         checkpoint_dir=os.path.join(resolved, "ckpts") if args.checkpoint_every else None,
         checkpoint_every=args.checkpoint_every,
@@ -152,11 +186,12 @@ def _cmd_train(args: argparse.Namespace) -> None:
     except KeyboardInterrupt:
         print("Training interrupted by user")
 
-    with open(os.path.join(resolved, "params.pkl"), "wb") as f:
-        pickle.dump(jax.device_get(params), f)
-    with open(os.path.join(resolved, "config.json"), "w") as f:
-        json.dump({"config_path": args.config}, f)
-    print(f"Model saved to {resolved}")
+    if is_host_zero():
+        with open(os.path.join(resolved, "params.pkl"), "wb") as f:
+            pickle.dump(jax.device_get(params), f)
+        with open(os.path.join(resolved, "config.json"), "w") as f:
+            json.dump({"config_path": args.config}, f)
+        print(f"Model saved to {resolved}")
 
 
 def _cmd_size(args: argparse.Namespace) -> None:

@@ -15,12 +15,27 @@ configurations transfer 1:1.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 
 from bcnf_tpu.ops.nn import Params, dropout
+
+
+def _fused_enabled() -> bool:
+    """Gate for the fused Pallas recurrence (ops/lstm_kernel.py).
+
+    BCNF_FUSED_LSTM=1 forces it on, =0 (default) keeps the scan path,
+    =auto enables it on a TPU backend only.
+    """
+    flag = os.environ.get("BCNF_FUSED_LSTM", "0")
+    if flag == "1":
+        return True
+    if flag == "auto":
+        return jax.default_backend() == "tpu"
+    return False
 
 
 def lstm_cell_init(key: jax.Array, input_size: int, hidden_size: int, dtype: Any = jnp.float32) -> Params:
@@ -54,6 +69,18 @@ def _direction_scan(params: Params, x: jnp.ndarray, hidden_size: int, reverse: b
 
     _, hs = jax.lax.scan(step, (h0, c0), x_proj, reverse=reverse)
     return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+
+
+def _direction(params: Params, x: jnp.ndarray, hidden_size: int, reverse: bool) -> jnp.ndarray:
+    """One LSTM direction; routes to the fused Pallas recurrence when enabled
+    (and the batch tiles), else the `lax.scan` path."""
+    if _fused_enabled():
+        from bcnf_tpu.ops.lstm_kernel import fused_direction
+
+        out = fused_direction(params, x, hidden_size, reverse)
+        if out is not None:
+            return out
+    return _direction_scan(params, x, hidden_size, reverse)
 
 
 def lstm_init(
@@ -96,9 +123,9 @@ def lstm_apply(
     all_layers = []
     n = len(params["layers"])
     for li, layer in enumerate(params["layers"]):
-        out = _direction_scan(layer["fwd"], x, hidden_size, reverse=False)
+        out = _direction(layer["fwd"], x, hidden_size, reverse=False)
         if "bwd" in layer:
-            back = _direction_scan(layer["bwd"], x, hidden_size, reverse=True)
+            back = _direction(layer["bwd"], x, hidden_size, reverse=True)
             out = jnp.concatenate([out, back], axis=-1)
         all_layers.append(out)
         if li < n - 1 and dropout_rate > 0.0:

@@ -36,9 +36,20 @@ def ensure_cpu_devices(n: int) -> None:
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
-    """Build a 1-D data-parallel mesh over (the first `n_devices`) devices."""
+    """Build a 1-D data-parallel mesh over (the first `n_devices`) devices.
+
+    Raises if fewer devices are visible than requested — silently degrading
+    to a smaller mesh hides misconfiguration (e.g. forgetting
+    `--xla_force_host_platform_device_count` on a CPU host).
+    """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"Requested a {n_devices}-device mesh but only {len(devices)} "
+                f"device(s) are visible: {devices}. On a CPU host set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}."
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 
@@ -58,10 +69,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _global_put(x: Any, sharding: NamedSharding) -> jax.Array:
+    """Build a global array spanning processes from a host-replicated value.
+
+    Every process holds the identical full value (datasets and params are
+    seeded identically per process); `make_array_from_callback` hands each
+    local device exactly its shard, so this works for both sharded and
+    replicated layouts in multi-process runs where a plain `device_put`
+    cannot address remote devices.
+    """
+    xh = np.asarray(x)
+    return jax.make_array_from_callback(xh.shape, sharding, lambda idx: xh[idx])
+
+
 def shard_batch(mesh: Mesh | None, tree: Any, axis_name: str = "data") -> Any:
     """Device-put every leaf with its batch axis sharded over the mesh."""
     if mesh is None:
         return tree
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: _global_put(x, batch_sharding(mesh, np.ndim(x), axis_name)), tree
+        )
     return jax.tree.map(
         lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x), axis_name)), tree
     )
@@ -72,6 +100,8 @@ def replicate(mesh: Mesh | None, tree: Any) -> Any:
     if mesh is None:
         return tree
     sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(lambda x: _global_put(x, sharding), tree)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 

@@ -366,7 +366,9 @@ class Trainer:
 
             ms.update_best_loss()
 
-            if self.checkpoint_every and self.checkpoint_dir and (epoch + 1) % self.checkpoint_every == 0:
+            if (self.checkpoint_every and self.checkpoint_dir
+                    and (epoch + 1) % self.checkpoint_every == 0
+                    and jax.process_index() == 0):
                 save_checkpoint(
                     f"{self.checkpoint_dir}/ckpt_{epoch}.pkl",
                     {

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Fused Pallas LSTM recurrence vs lax.scan on real TPU (flagship encoder).
+
+Measures the flagship LSTM encoder (2-layer bidirectional, H=140, T=30) both
+standalone (forward and forward+backward) and decides the BCNF_FUSED_LSTM
+default. Writes results/lstm_kernel_bench.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/bcnf_tpu_jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bcnf_tpu.ops.lstm import _direction_scan  # noqa: E402
+from bcnf_tpu.ops.lstm_kernel import fused_direction  # noqa: E402
+from bcnf_tpu.ops.lstm import lstm_cell_init  # noqa: E402
+
+T, F, H = 30, 3, 140
+
+
+def bench(fn, *args, reps=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+    return (time.perf_counter() - t0) / reps
+
+
+def main() -> None:
+    results = {}
+    params = lstm_cell_init(jax.random.key(0), F, H)
+    for B in (256, 1024, 4096):
+        x = jax.random.normal(jax.random.key(1), (B, T, F))
+
+        scan_f = jax.jit(lambda p, x: _direction_scan(p, x, H, False))
+        fused_f = jax.jit(lambda p, x: fused_direction(p, x, H, False))
+        dt_s = bench(scan_f, params, x)
+        dt_k = bench(fused_f, params, x)
+        results[f"fwd_B{B}"] = {"scan_us": dt_s * 1e6, "fused_us": dt_k * 1e6,
+                                "speedup": dt_s / dt_k}
+        print(f"fwd  B={B}: scan {dt_s*1e6:8.1f}us  fused {dt_k*1e6:8.1f}us  "
+              f"{dt_s/dt_k:.2f}x")
+
+        def loss_scan(p, x):
+            return jnp.sum(_direction_scan(p, x, H, False) ** 2)
+
+        def loss_fused(p, x):
+            return jnp.sum(fused_direction(p, x, H, False) ** 2)
+
+        gs = jax.jit(jax.grad(loss_scan))
+        gk = jax.jit(jax.grad(loss_fused))
+        dt_s = bench(gs, params, x)
+        dt_k = bench(gk, params, x)
+        results[f"grad_B{B}"] = {"scan_us": dt_s * 1e6, "fused_us": dt_k * 1e6,
+                                 "speedup": dt_s / dt_k}
+        print(f"grad B={B}: scan {dt_s*1e6:8.1f}us  fused {dt_k*1e6:8.1f}us  "
+              f"{dt_s/dt_k:.2f}x")
+
+    # numeric check at the largest batch
+    x = jax.random.normal(jax.random.key(1), (1024, T, F))
+    ref = _direction_scan(params, x, H, False)
+    out = fused_direction(params, x, H, False)
+    err = float(jnp.abs(out - ref).max())
+    results["max_abs_err"] = err
+    print(f"max |dh|: {err:.2e}")
+
+    os.makedirs("results", exist_ok=True)
+    with open("results/lstm_kernel_bench.json", "w") as f:
+        json.dump({"device": str(jax.devices()[0]), "T": T, "H": H,
+                   "results": results}, f, indent=2)
+    print("wrote results/lstm_kernel_bench.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -89,7 +89,26 @@ def main() -> None:
         results[n] = {"samples_per_sec": round(sps, 1), "efficiency": round(eff, 3)}
         print(f"devices={n:2d}  samples/s={sps:10.1f}  efficiency={eff:.3f}", flush=True)
 
-    print(json.dumps({"scaling": results, "per_device_batch": PER_DEVICE_BATCH, "model_scale": scale}))
+    backend = jax.default_backend()
+    payload = {
+        "backend": backend,
+        "n_physical_cpus": os.cpu_count(),
+        "scaling": results,
+        "per_device_batch": PER_DEVICE_BATCH,
+        "model_scale": scale,
+    }
+    if backend == "cpu":
+        payload["note"] = (
+            "CPU virtual-device run: validates the sharded step end-to-end, but "
+            "devices oversubscribe the physical cores, so 'efficiency' measures "
+            "core contention, not interconnect scaling. Flat total samples/s "
+            "across device counts is the expected correct result here; real DP "
+            "efficiency must be measured on a multi-chip TPU slice."
+        )
+    print(json.dumps(payload))
+    os.makedirs("results", exist_ok=True)
+    with open(f"results/scaling_{backend}.json", "w") as f:
+        json.dump(payload, f, indent=2)
 
 
 if __name__ == "__main__":
