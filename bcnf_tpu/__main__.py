@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None) -> None:
                                    "feature-network weights initialize this model's conditioner")
     train_parser.add_argument("--freeze-features", action="store_true",
                               help="Zero conditioner gradients (train the flow only)")
+    train_parser.add_argument("--online", action="store_true",
+                              help="Infinite-data regime: draw a fresh simulated batch from the "
+                                   "prior every step (on-device, no dataset pickle); also enabled "
+                                   "by training.online: true in the config")
+    train_parser.add_argument("--online-steps", type=int, default=None,
+                              help="Step budget for --online (default: training.online_steps or 5000)")
     train_parser.add_argument("--dp-devices", type=int, default=0,
                               help="Data-parallel over N devices (0 = single-device). "
                                    "Builds a 1-D mesh; params replicated, batch sharded, "
@@ -157,6 +163,46 @@ def _cmd_train(args: argparse.Namespace) -> None:
 
     cfg = {k.lower(): v for k, v in config.items()}
     cfg["training"] = dict(cfg["training"])
+
+    # ---- online (infinite-data) regime: fresh on-device batches per step
+    if args.online or cfg["training"].get("online"):
+        from bcnf_tpu.config import load_yaml
+        from bcnf_tpu.train.history import MultiSink as _MS
+        from bcnf_tpu.train.online import OnlineSimulator, train_online
+
+        data_cfg = cfg["data"]
+        simulator = OnlineSimulator(
+            load_yaml(data_cfg["config_file"]),
+            model.parameter_index_mapping,
+            condition_groups=cfg["global"]["conditions"],
+            dt=float(data_cfg["dt"]),
+            T=float(data_cfg["T"]),
+            num_cams=int(data_cfg.get("num_cams", 2)),
+            break_on_impact=bool(data_cfg.get("break_on_impact", False)),
+        )
+        n_steps = args.online_steps or int(cfg["training"].get("online_steps", 5000))
+        opt_kwargs = dict(cfg["optimizer"].get("kwargs", {}))
+        params, history = train_online(
+            model, params, simulator,
+            n_steps=n_steps,
+            batch_size=int(cfg["training"]["batch_size"]),
+            lr=float(opt_kwargs.get("lr", 2e-4)),
+            hybrid_weight=float(cfg["global"].get("hybrid_weight", 0) or 0),
+            seed=args.seed or 0,
+            sink=_MS(*sinks),
+            timeout=cfg["training"].get("timeout"),
+        )
+        if is_host_zero():
+            with open(os.path.join(resolved, "params.pkl"), "wb") as f:
+                pickle.dump(jax.device_get(params), f)
+            with open(os.path.join(resolved, "config.json"), "w") as f:
+                json.dump({"config_path": args.config, "online": True,
+                           "history_tail": {k: v[-3:] for k, v in history.items()
+                                            if isinstance(v, list)}}, f)
+            print(f"Online-trained model saved to {resolved} "
+                  f"(stop: {history.get('stop_reason')})")
+        return
+
     if args.pretrained_features:
         cfg["training"]["pretrained_features"] = args.pretrained_features
     if args.freeze_features:
