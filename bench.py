@@ -16,7 +16,10 @@ reported as secondary metrics on stderr.
 The reference publishes no throughput numbers (SURVEY.md section 6), so
 `vs_baseline` divides by a fixed reference estimate: the reference's GPU
 trains 4000 samples/epoch in ~10 s on a 16 GB CUDA GPU per its wall-clock
-budget heuristics -> ~400 samples/s.
+budget heuristics -> ~400 samples/s. The reference's actual torch code,
+measured on this host's CPU with the identical 48,852,615-param flagship,
+does 162 samples/s (results/reference_torch_cpu.json) — the 400 estimate is
+deliberately generous to the reference.
 """
 
 from __future__ import annotations

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Train a real video model (videos_CNN_LSTM_large) on TPU at reduced budget.
+
+The reference's videos_* configs are dev-family (no published NLL); this run
+records the NLL trajectory, train samples/s, and the renderer cost so the
+video path has a measured training result (round-1 gap: the video path was
+correctness-tested but never trained).
+
+Protocol notes vs the reference config
+(`/root/reference/configs/runs/dev/videos_CNN_LSTM_large.yaml`):
+- batch_size reduced (the CNN unrolls B x n_cams x T frames into one giant
+  conv batch; at the config's 256 that is ~15k frames -> tens of GB of
+  activations, infeasible on any 16 GB device),
+- dataset generated on device with the analytic (deterministic) renderer by
+  default; pass 'mc' for the reference's 5000-sample Monte-Carlo statistics.
+
+Usage: python scripts/video_parity.py [timeout_s] [renderer] [n_train]
+Writes results/parity_videos_CNN_LSTM_large.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/bcnf_tpu_jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NAME = "videos_CNN_LSTM_large"
+
+
+def main() -> None:
+    timeout = float(sys.argv[1]) if len(sys.argv) > 1 else 900.0
+    renderer = sys.argv[2] if len(sys.argv) > 2 else "analytic"
+    n_train = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    n_test = max(64, n_train // 4)
+
+    from bcnf_tpu import CondRealNVP, load_config
+    from bcnf_tpu.models import count_params
+    from bcnf_tpu.simulation.sampling import generate_data
+    from bcnf_tpu.train import Trainer
+    from bcnf_tpu.train.data import TrainerDataHandler
+    from bcnf_tpu.utils.io import load_data, save_data
+    from bcnf_tpu.utils.misc import inn_nll_loss
+
+    t0 = time.time()
+    config = load_config(f"{{{{BCNF_ROOT}}}}/configs/runs/dev/{NAME}.yaml", verify=False)
+    cfg = {k.lower(): v for k, v in config.items()}
+    cfg["training"] = dict(cfg["training"])
+    cfg["training"]["timeout"] = timeout
+    cfg["training"]["on_divergence"] = "rescue"
+    cfg["training"]["keep_best"] = True
+    cfg["training"]["batch_size"] = 32  # see module docstring
+    cfg["data"] = dict(cfg["data"])
+
+    data_dir = os.path.expanduser("~/bcnf_data")
+    train_path = os.path.join(data_dir, f"videos_train_{n_train}_{renderer}.pkl")
+    test_path = os.path.join(data_dir, f"videos_test_{n_test}_{renderer}.pkl")
+    gen_kwargs = dict(
+        config_file=cfg["data"]["config_file"],
+        output_type="videos",
+        dt=float(cfg["data"]["dt"]),
+        T=float(cfg["data"]["T"]),
+        break_on_impact=bool(cfg["data"]["break_on_impact"]),
+        do_filter=bool(cfg["data"]["do_filter"]),
+        renderer=renderer,
+        verbose=False,
+    )
+    gen_s = None
+    if not os.path.exists(train_path):
+        print(f"[{time.time()-t0:.0f}s] generating {n_train} video samples ({renderer})...")
+        g0 = time.time()
+        save_data(generate_data(n=n_train, seed=1, **gen_kwargs), train_path)
+        gen_s = time.time() - g0
+        print(f"[{time.time()-t0:.0f}s] generated in {gen_s:.0f}s "
+              f"({n_train/gen_s:.1f} videos/s incl. simulation)")
+    if not os.path.exists(test_path):
+        save_data(generate_data(n=n_test, seed=2, **gen_kwargs), test_path)
+    cfg["data"]["path"] = train_path
+
+    model = CondRealNVP.from_config(config)
+    params = model.init(jax.random.key(0))
+    print(f"[{time.time()-t0:.0f}s] {NAME}: {count_params(params):,} params")
+
+    trainer = Trainer(
+        cfg, run_name=NAME,
+        parameter_index_mapping=model.parameter_index_mapping,
+        hybrid_weight=cfg["global"].get("hybrid_weight", 0) or 0,
+        verbose=False,
+    )
+    tr0 = time.time()
+    params = trainer.train(model, params)
+    train_s = time.time() - tr0
+    hist = trainer.meta_scheduler.parameter_history
+    n_epochs = hist["val_loss"][-1][0]
+    samples_per_sec = (n_epochs + 1) * n_train * 0.8 / train_s
+    print(f"[{time.time()-t0:.0f}s] trained {n_epochs} epochs "
+          f"({samples_per_sec:,.0f} train samples/s), stop={hist['stop_reason']}")
+
+    # test NLL
+    handler = TrainerDataHandler()
+    test_cfg = dict(cfg)
+    test_cfg["data"] = dict(cfg["data"])
+    test_cfg["data"]["path"] = test_path
+    y_test, conds_test = handler.get_data_for_training(test_cfg, model.parameter_index_mapping)
+    nlls = []
+    for b in range(0, len(y_test), 32):
+        z, ld = model.forward(
+            params, jnp.asarray(y_test[b: b + 32]),
+            *[jnp.asarray(c[b: b + 32]) for c in conds_test],
+        )
+        nlls.append(np.asarray(inn_nll_loss(z, ld, reduction="none")))
+    test_nll = float(np.concatenate(nlls).mean())
+
+    result = {
+        "config": NAME,
+        "renderer": renderer,
+        "n_train": n_train,
+        "batch_size": 32,
+        "epochs": int(n_epochs),
+        "stop_reason": hist["stop_reason"],
+        "train_nll": float(hist["train_loss_nll"][-1][1]),
+        "val_nll": float(hist["val_loss_nll"][-1][1]),
+        "test_nll": test_nll,
+        "train_samples_per_sec": round(samples_per_sec, 1),
+        "datagen_seconds": gen_s,
+        "wall_s": time.time() - t0,
+    }
+    print(json.dumps(result, indent=2))
+    os.makedirs("results", exist_ok=True)
+    with open(f"results/parity_{NAME}.json", "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
