@@ -37,6 +37,13 @@ def main(argv: list[str] | None = None) -> None:
                                    "feature-network weights initialize this model's conditioner")
     train_parser.add_argument("--freeze-features", action="store_true",
                               help="Zero conditioner gradients (train the flow only)")
+    train_parser.add_argument("-d", "--data", type=str, default=None,
+                              help="Override data.path (dataset pickle or shard directory)")
+    train_parser.add_argument("--timeout", type=float, default=None,
+                              help="Override training.timeout (seconds of training wall-clock)")
+    train_parser.add_argument("--on-divergence", type=str, default=None,
+                              choices=["raise", "stop", "rescue"],
+                              help="Override training.on_divergence")
     train_parser.add_argument("--online", action="store_true",
                               help="Infinite-data regime: draw a fresh simulated batch from the "
                                    "prior every step (on-device, no dataset pickle); also enabled "
@@ -163,6 +170,15 @@ def _cmd_train(args: argparse.Namespace) -> None:
 
     cfg = {k.lower(): v for k, v in config.items()}
     cfg["training"] = dict(cfg["training"])
+    cfg["data"] = dict(cfg["data"])
+    if args.data is not None:
+        cfg["data"]["path"] = args.data
+    if args.timeout is not None:
+        cfg["training"]["timeout"] = args.timeout
+    if args.on_divergence is not None:
+        cfg["training"]["on_divergence"] = args.on_divergence
+        if args.on_divergence == "rescue":
+            cfg["training"]["keep_best"] = True
 
     # ---- online (infinite-data) regime: fresh on-device batches per step
     if args.online or cfg["training"].get("online"):
