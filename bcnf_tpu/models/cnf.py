@@ -513,6 +513,10 @@ class CondRealNVP:
         # for published shapes (PARITY.md round 1) — opt-in only; the
         # whole-flow kernel above is the production fast path.
         self.use_pallas_coupling = False
+        # lax.scan unroll factor for the block stack; >1 lets XLA pipeline
+        # weight loads against compute across consecutive blocks (tunable;
+        # see scripts/train_profile.py)
+        self.scan_unroll = 1
 
         common = dict(
             input_size=size,
@@ -741,7 +745,10 @@ class CondRealNVP:
                     yy = yy @ blk["ortho"]
                     return (yy, ld), None
 
-                (y, log_det), _ = jax.lax.scan(body, (y, log_det), (blocks, projs, block_rngs))
+                (y, log_det), _ = jax.lax.scan(
+                    body, (y, log_det), (blocks, projs, block_rngs),
+                    unroll=self.scan_unroll,
+                )
 
             final_proj = self.coupling.cond_proj(params["final"], h) if h is not None else None
             if fused and final_proj is not None:
@@ -813,7 +820,9 @@ class CondRealNVP:
                         zz = self.actnorm.inverse(blk["actnorm"], zz)
                     return zz, None
 
-                z, _ = jax.lax.scan(body, z, (blocks_r, projs_r, block_rngs))
+                z, _ = jax.lax.scan(
+                    body, z, (blocks_r, projs_r, block_rngs), unroll=self.scan_unroll
+                )
         return z
 
     # -- probabilistic API -------------------------------------------------
