@@ -1,0 +1,111 @@
+"""CLI integration tests (reference `src/bcnf/__main__.py` surface + the new
+subcommands), driven in-process via `bcnf_tpu.__main__.main` on the CPU
+backend. A tiny run config keeps every step under a few seconds."""
+
+import json
+import os
+import pickle
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+from bcnf_tpu.__main__ import main
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(autouse=True)
+def _root_env(monkeypatch):
+    monkeypatch.setenv("BCNF_ROOT", REPO)
+
+
+@pytest.fixture(scope="module")
+def tiny_config(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    cfg = {
+        "global": {
+            "cnf_version": 2,
+            "parameter_selection": ["x0_x", "x0_y", "x0_z", "v0_x", "v0_y", "v0_z",
+                                    "g", "w_x", "w_y", "w_z", "b", "m",
+                                    "a_x", "a_y", "a_z", "r", "A", "Cd", "rho"],
+            "conditions": [["trajectories"]],
+            "dtype": "float32",
+        },
+        "data": {
+            "path": str(d / "data"),
+            "config_file": "{{BCNF_ROOT}}/configs/data_prior.yaml",
+            "n_samples": 96,
+            "output_type": "trajectories",
+            "dt": 0.1,
+            "T": 0.5,
+            "num_cams": 2,
+            "break_on_impact": False,
+            "do_filter": False,
+            "verbose": False,
+        },
+        "model": {"kwargs": {"size": 19, "nested_sizes": [16, 16], "n_blocks": 3,
+                             "n_conditions": 12, "act_norm": True,
+                             "random_state": 0}},
+        "feature_networks": [
+            {"type": "ConcatenateCondition", "kwargs": {"input_size": None, "output_size": 15}},
+            {"type": "FullyConnected", "kwargs": {"sizes": [15, 16, 12]}},
+        ],
+        "optimizer": {"type": "Adam", "kwargs": {"lr": 2.0e-3}},
+        "lr_scheduler": {"type": "ReduceLROnPlateau",
+                         "kwargs": {"mode": "min", "factor": 0.5, "patience": 50,
+                                    "threshold_mode": "abs", "threshold": 0.1}},
+        "training": {"validation_split": 0.25, "val_loss_window_size": 3,
+                     "val_loss_patience": 1000, "val_loss_tolerance": 0.01,
+                     "val_loss_tolerance_mode": "abs", "batch_size": 32,
+                     "n_epochs": 3, "timeout": None, "random_state": 0},
+    }
+    path = d / "tiny.yaml"
+    path.write_text(yaml.safe_dump(cfg, sort_keys=False))
+    return str(path), str(d)
+
+
+def test_cli_size(tiny_config, capsys):
+    path, _ = tiny_config
+    main(["size", "-c", path])
+    out = capsys.readouterr().out
+    assert "Model size:" in out
+
+
+def test_cli_generate(tiny_config, tmp_path):
+    out_pkl = str(tmp_path / "gen.pkl")
+    main(["generate", "-c", os.path.join(REPO, "configs", "data_prior.yaml"),
+          "-o", out_pkl, "-n", "16", "--no-filter", "--renderer", "analytic",
+          "--dt", "0.1", "-T", "0.5"])
+    with open(out_pkl, "rb") as f:
+        data = pickle.load(f)
+    assert len(data["trajectories"]) == 16
+
+
+def test_cli_train_then_sample(tiny_config, tmp_path):
+    path, d = tiny_config
+    out_dir = str(tmp_path / "model")
+    main(["train", "-c", path, "-o", out_dir, "-f"])
+    assert os.path.exists(os.path.join(out_dir, "params.pkl"))
+    assert os.path.exists(os.path.join(out_dir, "metrics.jsonl"))
+    with open(os.path.join(out_dir, "config.json")) as f:
+        assert json.load(f)["config_path"] == path
+
+    # sample from the saved model against the generated dataset
+    out_npy = str(tmp_path / "samples.npy")
+    main(["sample", "-m", out_dir, "-d", os.path.join(d, "data"),
+          "-n", "8", "-o", out_npy])
+    s = np.load(out_npy)
+    assert s.shape[0] == 8 and s.shape[2] == 19
+    assert np.isfinite(s).all()
+
+
+def test_cli_train_online(tiny_config, tmp_path):
+    path, _ = tiny_config
+    out_dir = str(tmp_path / "online_model")
+    main(["train", "-c", path, "-o", out_dir, "-f", "--online", "--online-steps", "30"])
+    with open(os.path.join(out_dir, "config.json")) as f:
+        meta = json.load(f)
+    assert meta["online"] is True
+    assert os.path.exists(os.path.join(out_dir, "params.pkl"))
