@@ -102,6 +102,17 @@ def main(argv: list[str] | None = None) -> None:
     sample_parser.add_argument("--precision", type=str, default=None,
                                help="Matmul precision override, e.g. BF16_BF16_F32_X3")
 
+    hpo_parser = subparsers.add_parser("hpo")
+    hpo_parser.add_argument("-d", "--data", type=str, required=True, help="Training dataset pickle")
+    hpo_parser.add_argument("-o", "--output-dir", type=str, required=True,
+                            help="Checkpoint + best.json directory (re-run to resume)")
+    hpo_parser.add_argument("--n-calls", type=int, default=25)
+    hpo_parser.add_argument("--n-initial-points", type=int, default=8)
+    hpo_parser.add_argument("--n-splits", type=int, default=3)
+    hpo_parser.add_argument("--n-epochs", type=int, default=60)
+    hpo_parser.add_argument("--n-samples", type=int, default=1000)
+    hpo_parser.add_argument("--seed", type=int, default=0)
+
     args = parser.parse_args(argv)
 
     if args.command_name == "train":
@@ -114,6 +125,8 @@ def main(argv: list[str] | None = None) -> None:
         _cmd_sample(args)
     elif args.command_name == "eval":
         _cmd_eval(args)
+    elif args.command_name == "hpo":
+        _cmd_hpo(args)
     else:
         print("Unknown command:", args.command_name)
         sys.exit(1)
@@ -254,6 +267,21 @@ def _cmd_train(args: argparse.Namespace) -> None:
         with open(os.path.join(resolved, "config.json"), "w") as f:
             json.dump({"config_path": args.config}, f)
         print(f"Model saved to {resolved}")
+
+
+def _cmd_hpo(args: argparse.Namespace) -> None:
+    """Checkpointable GP hyperparameter search (the reference's
+    `notebooks/optimize_hyperparameters.ipynb` workflow as a CLI command;
+    re-running the same command resumes from the per-iteration checkpoint)."""
+    from bcnf_tpu.hpo.driver import run_hpo
+
+    summary = run_hpo(
+        args.data, args.output_dir,
+        n_calls=args.n_calls, n_initial_points=args.n_initial_points,
+        n_splits=args.n_splits, n_epochs=args.n_epochs,
+        n_samples=args.n_samples, seed=args.seed,
+    )
+    print(json.dumps(summary, indent=2, default=float))
 
 
 def _cmd_size(args: argparse.Namespace) -> None:

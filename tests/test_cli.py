@@ -109,3 +109,23 @@ def test_cli_train_online(tiny_config, tmp_path):
         meta = json.load(f)
     assert meta["online"] is True
     assert os.path.exists(os.path.join(out_dir, "params.pkl"))
+
+
+def test_cli_hpo_smoke(tiny_config, tmp_path):
+    """bcnf-tpu hpo: two GP iterations over the tiny dataset, checkpoint +
+    best.json written; re-invocation resumes from the checkpoint."""
+    _, d = tiny_config
+    out_dir = str(tmp_path / "hpo")
+    args = ["hpo", "-d", os.path.join(d, "data"), "-o", out_dir,
+            "--n-calls", "2", "--n-initial-points", "2",
+            "--n-splits", "2", "--n-epochs", "2", "--n-samples", "64"]
+    main(args)
+    assert os.path.exists(os.path.join(out_dir, "hpo_checkpoint.pkl"))
+    with open(os.path.join(out_dir, "best.json")) as f:
+        best = json.load(f)
+    assert best["n_evaluations"] >= 2
+    # resume path: a third call picks up the checkpoint and adds one more
+    main(args[:-10] + args[-10:-8] + ["--n-calls", "3", "--n-initial-points", "2",
+         "--n-splits", "2", "--n-epochs", "2", "--n-samples", "64"])
+    with open(os.path.join(out_dir, "best.json")) as f:
+        assert json.load(f)["n_evaluations"] >= 3
