@@ -172,6 +172,11 @@ class Trainer:
         """Train `model`, returning the trained parameter pytree
         (reference `Trainer.train`, `src/bcnf/train/trainer.py:50-111`)."""
         cfg_t = self.config["training"]
+        # Optional matmul-precision override for the whole training run
+        # (e.g. training.precision: BF16_BF16_F32_X3 for ~1.4x step
+        # throughput at ~2e-3 matmul error; see results/train_profile.json).
+        if cfg_t.get("precision"):
+            model.precision = str(cfg_t["precision"])
         opt_cfg = self.config["optimizer"]
         opt_kwargs = dict(opt_cfg.get("kwargs", {}))
         optimizer = make_optimizer(opt_cfg.get("type", "Adam"), **opt_kwargs)
