@@ -517,6 +517,14 @@ class CondRealNVP:
         # weight loads against compute across consecutive blocks (tunable;
         # see scripts/train_profile.py)
         self.scan_unroll = 1
+        # Block-boundary rematerialization: checkpoint the scan body so the
+        # backward pass recomputes each block's MLP intermediates from the
+        # tiny (B, size) block inputs instead of reading ~5 saved (B, H)
+        # activations per block back from HBM. Trades ~1.33x matmul FLOPs
+        # for a large cut in HBM residual traffic (the training step's
+        # bottleneck at large batch). Tunable via `training.remat` /
+        # scripts/train_profile.py.
+        self.remat = False
 
         common = dict(
             input_size=size,
@@ -746,7 +754,8 @@ class CondRealNVP:
                     return (yy, ld), None
 
                 (y, log_det), _ = jax.lax.scan(
-                    body, (y, log_det), (blocks, projs, block_rngs),
+                    jax.checkpoint(body) if self.remat else body,
+                    (y, log_det), (blocks, projs, block_rngs),
                     unroll=self.scan_unroll,
                 )
 

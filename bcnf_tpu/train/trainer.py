@@ -177,6 +177,11 @@ class Trainer:
         # throughput at ~2e-3 matmul error; see results/train_profile.json).
         if cfg_t.get("precision"):
             model.precision = str(cfg_t["precision"])
+        # Optional block-boundary rematerialization (training.remat: true):
+        # backward recomputes MLP intermediates instead of reading saved
+        # activations from HBM — see CondRealNVP.remat.
+        if cfg_t.get("remat") is not None:
+            model.remat = bool(cfg_t["remat"])
         opt_cfg = self.config["optimizer"]
         opt_kwargs = dict(opt_cfg.get("kwargs", {}))
         optimizer = make_optimizer(opt_cfg.get("type", "Adam"), **opt_kwargs)

@@ -142,6 +142,18 @@ def main() -> None:
     with open(f"results/parity_{name}{suffix}.json", "w") as f:
         json.dump(result, f, indent=2)
 
+    # save the trained model in the `bcnf-tpu train` artifact layout so
+    # `bcnf-tpu eval`/`sample` can consume parity-trained models directly
+    import pickle
+
+    model_dir = os.path.expanduser(f"~/bcnf_models/parity_{name}{suffix}")
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, "params.pkl"), "wb") as f:
+        pickle.dump(jax.device_get(params), f)
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump({"config_path": f"{{{{BCNF_ROOT}}}}/configs/runs/{name}.yaml"}, f)
+    print(f"model saved to {model_dir}")
+
 
 if __name__ == "__main__":
     main()

@@ -41,10 +41,12 @@ def main() -> None:
 
     results = {}
     for prec in ("highest", "BF16_BF16_F32_X3"):
-        for unroll in (1, 2, 5, 13):
+        for unroll, remat in ((1, False), (2, False), (5, False), (13, False),
+                              (1, True), (2, True), (5, True)):
             model = _flagship_model()
             model.precision = prec
             model.scan_unroll = unroll
+            model.remat = remat
             params = model.init(jax.random.key(0))
             optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-4))
             opt_state = optimizer.init(params)
@@ -59,6 +61,7 @@ def main() -> None:
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 return optax.apply_updates(params, updates), opt_state, loss
 
+            key = f"{prec}_u{unroll}" + ("_remat" if remat else "")
             try:
                 params, opt_state, loss = train_step(params, opt_state, y, traj)
                 ready(loss)
@@ -68,11 +71,11 @@ def main() -> None:
                     params, opt_state, loss = train_step(params, opt_state, y, traj)
                 ready(loss)
                 sps = n * B / (time.time() - t0)
-                results[f"{prec}_u{unroll}"] = round(sps, 1)
-                print(f"prec={prec:>18} unroll={unroll:2d}: {sps:10,.0f} samples/s")
+                results[key] = round(sps, 1)
+                print(f"prec={prec:>18} unroll={unroll:2d} remat={int(remat)}: {sps:10,.0f} samples/s")
             except Exception as e:
-                results[f"{prec}_u{unroll}"] = None
-                print(f"prec={prec:>18} unroll={unroll:2d}: FAILED {str(e)[:80]}")
+                results[key] = None
+                print(f"prec={prec:>18} unroll={unroll:2d} remat={int(remat)}: FAILED {str(e)[:80]}")
             del params, opt_state
 
     os.makedirs("results", exist_ok=True)

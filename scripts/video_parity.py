@@ -137,6 +137,18 @@ def main() -> None:
     with open(f"results/parity_{NAME}.json", "w") as f:
         json.dump(result, f, indent=2)
 
+    # save in the `bcnf-tpu train` artifact layout so eval/sample and
+    # examples/irl_posteriors.py can consume the trained video model
+    import pickle
+
+    model_dir = os.path.expanduser(f"~/bcnf_models/parity_{NAME}")
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, "params.pkl"), "wb") as f:
+        pickle.dump(jax.device_get(params), f)
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump({"config_path": f"{{{{BCNF_ROOT}}}}/configs/runs/dev/{NAME}.yaml"}, f)
+    print(f"model saved to {model_dir}")
+
 
 if __name__ == "__main__":
     main()

@@ -202,3 +202,27 @@ def test_hybrid_head():
     z, ld, h = model.forward(params, y, cond, return_features=True)
     y_hat = model.predict_head(params, h)
     assert y_hat.shape == y.shape
+
+
+def test_remat_grads_match_baseline():
+    """Block-boundary remat (CondRealNVP.remat) is a pure memory/HBM-traffic
+    optimization: loss and gradients must be bit-comparable to the
+    non-remat scan."""
+    from bcnf_tpu.utils.misc import inn_nll_loss
+
+    model = _model()
+    params = model.init(jax.random.key(0))
+    y = jax.random.normal(jax.random.key(1), (16, 5))
+    cond = jax.random.normal(jax.random.key(2), (16, 6))
+
+    def loss_fn(p):
+        z, ld = model.forward(p, y, cond)
+        return inn_nll_loss(z, ld)
+
+    loss0, g0 = jax.value_and_grad(loss_fn)(params)
+    model.remat = True
+    loss1, g1 = jax.value_and_grad(loss_fn)(params)
+
+    assert jnp.allclose(loss0, loss1, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
