@@ -750,7 +750,11 @@ class CondRealNVP:
                             blk["coupling"], yy, h, proj, brng if train else None, train
                         )
                     ld = ld + ld_c
-                    yy = yy @ blk["ortho"]
+                    # fixed (non-trainable) mixing matrix, reference
+                    # `cnf.py:323-324`: stop_gradient keeps Adam from
+                    # drifting it off the orthonormal manifold (which would
+                    # silently break logdet=0 and inverse-via-transpose)
+                    yy = yy @ jax.lax.stop_gradient(blk["ortho"])
                     return (yy, ld), None
 
                 (y, log_det), _ = jax.lax.scan(
@@ -818,7 +822,7 @@ class CondRealNVP:
                 def body(carry: jnp.ndarray, xs: tuple) -> tuple[jnp.ndarray, None]:
                     zz = carry
                     blk, proj, brng = xs
-                    zz = zz @ blk["ortho"].T
+                    zz = zz @ jax.lax.stop_gradient(blk["ortho"]).T
                     if fused and proj is not None:
                         zz = self.coupling.inverse_fused(blk["coupling"], zz, proj)
                     else:

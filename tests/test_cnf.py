@@ -226,3 +226,32 @@ def test_remat_grads_match_baseline():
     assert jnp.allclose(loss0, loss1, atol=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_ortho_is_not_trainable():
+    """The orthonormal mixing matrices are fixed buffers (reference
+    `cnf.py:322-324`): gradients must be exactly zero so Adam never drifts
+    them off the orthonormal manifold (which would break logdet=0 and
+    inverse-via-transpose)."""
+    from bcnf_tpu.utils.misc import inn_nll_loss
+
+    model = _model()
+    params = model.init(jax.random.key(0))
+    y = jax.random.normal(jax.random.key(1), (16, 5))
+    cond = jax.random.normal(jax.random.key(2), (16, 6))
+
+    def loss_fn(p):
+        z, ld = model.forward(p, y, cond)
+        return inn_nll_loss(z, ld)
+
+    grads = jax.grad(loss_fn)(params)
+    assert float(jnp.abs(grads["blocks"]["ortho"]).max()) == 0.0
+
+    import optax
+
+    opt = optax.adam(1e-2)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    new_params = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(
+        np.asarray(new_params["blocks"]["ortho"]), np.asarray(params["blocks"]["ortho"])
+    )
