@@ -699,6 +699,10 @@ class CondRealNVP:
             and len(self.nested_sizes) >= 2
             and getattr(self.coupling, "fusable", False)
             and jax.default_backend() == "tpu"
+            # XLA cannot shard-propagate through a custom call: under a
+            # multi-device mesh the kernel would force a gather. Until the
+            # kernels are shard_map-wrapped, fuse only on a single device.
+            and jax.device_count() == 1
         )
 
     def _use_fused_coupling(self, train: bool) -> bool:
@@ -728,6 +732,12 @@ class CondRealNVP:
         """theta -> z with log|det J| (reference `cnf.py:467-493`)."""
         r_feat, r_blocks, r_final, _ = self._rngs(rng)
         h = self.encode(params, conditions, r_feat, train) if self.features is not None else None
+
+        if h is not None and self._use_fused_train(train):
+            res = self.forward_fused_flow(params, y, h)
+            if res is not None:
+                z, log_det = res
+                return (z, log_det, h) if return_features else (z, log_det)
 
         fused = self._use_fused_coupling(train)
         with jax.default_matmul_precision(self.precision):
@@ -919,6 +929,40 @@ class CondRealNVP:
         h_proj = jnp.concatenate([proj_blocks, proj_final[None]], axis=0)
         kargs, h_proj = pad_hidden(kargs, h_proj)
         return kargs, h_proj
+
+    def _use_fused_train(self, train: bool) -> bool:
+        """Fused training-step gate: same structural requirements as
+        `_use_fused` plus a dropout-free coupling MLP when `train=True`
+        (the training kernel has no in-kernel PRNG)."""
+        return (
+            self.use_pallas
+            and self.n_conditions > 0
+            and self.n_blocks > 1
+            and len(self.nested_sizes) >= 2
+            and getattr(self.coupling, "fusable", False)
+            and (not train or float(self.dropout) == 0.0)
+            and jax.default_backend() == "tpu"
+            and jax.device_count() == 1  # see _use_fused
+        )
+
+    def forward_fused_flow(
+        self, params: Params, y: jnp.ndarray, h: jnp.ndarray, block_b: int = 512
+    ) -> tuple[jnp.ndarray, jnp.ndarray] | None:
+        """Whole-flow fused *differentiable* forward (ops/flow_kernel.py
+        `fused_flow_train`): one Pallas kernel for z+logdet, a second for the
+        hand-written backward that recomputes per-block MLP activations from
+        the stored (B, size) block boundaries (VMEM-resident remat). Returns
+        None when the shape/precision family is unsupported."""
+        from bcnf_tpu.ops.flow_kernel import fused_flow_train
+
+        mode = self._FUSED_PRECISION_MODES.get(self.precision)
+        if mode is None:
+            return None
+        if getattr(self, "pallas_strict", False) and self.precision in ("highest", "float32"):
+            mode = "highest"
+        with jax.default_matmul_precision("highest" if mode == "x3" else self.precision):
+            kargs, h_proj = self._fused_flow_args(params, h)
+            return fused_flow_train(y, h_proj, kargs, block_b=block_b, precision=mode)
 
     def inverse_fused_flow(
         self, params: Params, z_flat: jnp.ndarray, h: jnp.ndarray, block_b: int = 512

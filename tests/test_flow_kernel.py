@@ -175,6 +175,7 @@ def test_structural_gate_small_configs(monkeypatch):
     """n_blocks == 1 or a single nested hidden layer cannot be stacked;
     _use_fused must route those to XLA instead of crashing."""
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(jax, "device_count", lambda: 1)
     kw = dict(size=7, n_conditions=16, use_pallas=True,
               feature_network_stack=FeatureNetworkStack(
                   [ConcatenateCondition(input_size=None, output_size=6),
@@ -215,3 +216,98 @@ def test_model_sample_uses_fused_path(setup):
     ).reshape(64, N, model.size)
     y_ref = jax.vmap(lambda zz: model.inverse_given_h(params, zz, h))(z)
     np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused *training* forward (custom VJP) — ops/flow_kernel.py fused_flow_train
+# ---------------------------------------------------------------------------
+
+
+def _stacked_forward_ref(x, h_proj, kargs):
+    """Pure-JAX reference of the stacked-flow forward used to validate the
+    training kernel's hand-written VJP (python loop over blocks; identical
+    math to `_flow_fwd_train_kernel`)."""
+    n_steps = h_proj.shape[0]
+    size = x.shape[-1]
+    d_a = kargs["w1y"].shape[1]
+    ld = jnp.zeros((x.shape[0],))
+    hp = jax.lax.stop_gradient  # noqa: E731 (alias unused; kept for clarity)
+    for k in range(n_steps):
+        inner = k < n_steps - 1
+        s_eff = kargs["an_scale"][k] if inner else jnp.ones(size)
+        b_eff = kargs["an_bias"][k] if inner else jnp.zeros(size)
+        x = x * s_eff + b_eff
+        ld = ld + jnp.sum(jnp.log(jnp.abs(s_eff)))
+        x_a = x[:, :d_a]
+        a = jax.nn.gelu(x_a @ kargs["w1y"][k] + kargs["b1"][k] + h_proj[k])
+        for i in range(kargs["wm"].shape[1]):
+            a = jax.nn.gelu(a @ kargs["wm"][k, i] + kargs["bm"][k, i])
+        out = a @ kargs["wout"][k] + kargs["bout"][k]
+        d_b = size - d_a
+        t = out[:, :d_b]
+        s = jnp.tanh(out[:, d_b:])
+        z_b = jnp.exp(s) * x[:, d_a:] + t
+        ld = ld + jnp.sum(s, axis=-1)
+        x = jnp.concatenate([x_a, z_b], axis=-1)
+        if inner:
+            x = x @ jax.lax.stop_gradient(kargs["ortho"][k])
+    return x, ld
+
+
+def test_fused_train_forward_matches_reference(setup):
+    from bcnf_tpu.ops.flow_kernel import fused_flow_train
+
+    model, params, h, kargs, h_proj, N, draws, rng = setup
+    # per-row conditions (training layout): one h row per batch row
+    B = 16
+    hB = jnp.asarray(rng.normal(size=(B, h.shape[-1])).astype(np.float32))
+    kargsB, h_projB = model._fused_flow_args(params, hB)
+    y = jnp.asarray(rng.normal(size=(B, model.size)).astype(np.float32))
+
+    z_k, ld_k = fused_flow_train(y, h_projB, kargsB, block_b=8,
+                                 precision="highest", interpret=True)
+    z_r, ld_r = _stacked_forward_ref(y, h_projB, kargsB)
+    np.testing.assert_allclose(np.asarray(z_k), np.asarray(z_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld_k), np.asarray(ld_r), atol=1e-4)
+
+    # and against the model's XLA forward (same math through the scan path)
+    condB = jnp.asarray(rng.normal(size=(B, 6)).astype(np.float32))
+    h2 = model.encode(params, (condB,))
+    kargs2, h_proj2 = model._fused_flow_args(params, h2)
+    z_k2, ld_k2 = fused_flow_train(y, h_proj2, kargs2, block_b=8,
+                                   precision="highest", interpret=True)
+    with jax.default_matmul_precision("highest"):
+        z_x, ld_x = model.forward(params, y, condB)
+    np.testing.assert_allclose(np.asarray(z_k2), np.asarray(z_x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld_k2), np.asarray(ld_x), atol=1e-4)
+
+
+def test_fused_train_grads_match_reference(setup):
+    from bcnf_tpu.ops.flow_kernel import fused_flow_train
+
+    model, params, h, kargs, h_proj, N, draws, rng = setup
+    B = 16
+    hB = jnp.asarray(rng.normal(size=(B, h.shape[-1])).astype(np.float32))
+    kargsB, h_projB = model._fused_flow_args(params, hB)
+    y = jnp.asarray(rng.normal(size=(B, model.size)).astype(np.float32))
+
+    def loss_k(y, h_proj, kargs):
+        z, ld = fused_flow_train(y, h_proj, kargs, block_b=8,
+                                 precision="highest", interpret=True)
+        return jnp.mean(0.5 * jnp.sum(z**2, axis=-1) - ld)
+
+    def loss_r(y, h_proj, kargs):
+        z, ld = _stacked_forward_ref(y, h_proj, kargs)
+        return jnp.mean(0.5 * jnp.sum(z**2, axis=-1) - ld)
+
+    v_k, g_k = jax.value_and_grad(loss_k, argnums=(0, 1, 2))(y, h_projB, kargsB)
+    v_r, g_r = jax.value_and_grad(loss_r, argnums=(0, 1, 2))(y, h_projB, kargsB)
+    np.testing.assert_allclose(float(v_k), float(v_r), atol=1e-5)
+    flat_k, tree_k = jax.tree.flatten(g_k)
+    flat_r, tree_r = jax.tree.flatten(g_r)
+    assert tree_k == tree_r
+    for a, b, path in zip(flat_k, flat_r, jax.tree.leaves_with_path(g_k)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3,
+            err_msg=str(path[0]),
+        )
