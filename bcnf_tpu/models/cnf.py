@@ -28,7 +28,9 @@ Behavioral deltas vs the reference are documented inline (SURVEY.md Q4/Q7).
 
 from __future__ import annotations
 
+import contextlib
 import math
+import os
 from typing import Any, Sequence
 
 import jax
@@ -47,6 +49,45 @@ from bcnf_tpu.models.splines import n_spline_params, rational_quadratic_spline
 def count_params(params: Any) -> int:
     """Total number of scalar parameters in a pytree (reference `cnf.py:19-20`)."""
     return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+# --- SPMD-local tracing context -------------------------------------------
+#
+# XLA cannot shard-propagate through a Pallas custom call, so the fused-kernel
+# gates normally require a single device. Inside `jax.shard_map`, however, the
+# trace sees only the per-device shard — the kernel is valid there and runs
+# once per chip with no cross-device traffic. The Trainer wraps its DP train
+# step in shard_map and traces the loss under `spmd_local()` to tell the gates
+# the multi-device check does not apply.
+_SPMD_LOCAL = False
+
+
+@contextlib.contextmanager
+def spmd_local():
+    """Mark the enclosed trace as per-shard code inside `shard_map` (the
+    fused-kernel gates then skip the single-device requirement)."""
+    global _SPMD_LOCAL
+    prev = _SPMD_LOCAL
+    _SPMD_LOCAL = True
+    try:
+        yield
+    finally:
+        _SPMD_LOCAL = prev
+
+
+def _pallas_interpret() -> bool:
+    """Test hook: BCNF_PALLAS_INTERPRET=1 runs the fused kernels in Pallas
+    interpret mode so the full model fast path is testable on CPU."""
+    return os.environ.get("BCNF_PALLAS_INTERPRET", "") == "1"
+
+
+def _fused_platform_ok() -> bool:
+    """Mosaic kernels lower on TPU only (or anywhere in interpret mode), and
+    only when the trace is single-device — one real chip, or the per-shard
+    body of a shard_map (`spmd_local`)."""
+    backend_ok = jax.default_backend() == "tpu" or _pallas_interpret()
+    device_ok = _SPMD_LOCAL or jax.device_count() == 1
+    return backend_ok and device_ok
 
 
 # ---------------------------------------------------------------------------
@@ -698,11 +739,9 @@ class CondRealNVP:
             and self.n_blocks > 1
             and len(self.nested_sizes) >= 2
             and getattr(self.coupling, "fusable", False)
-            and jax.default_backend() == "tpu"
-            # XLA cannot shard-propagate through a custom call: under a
-            # multi-device mesh the kernel would force a gather. Until the
-            # kernels are shard_map-wrapped, fuse only on a single device.
-            and jax.device_count() == 1
+            # TPU backend + single-device trace (one chip, or the per-shard
+            # body of the Trainer's shard_map DP step — see `spmd_local`)
+            and _fused_platform_ok()
         )
 
     def _use_fused_coupling(self, train: bool) -> bool:
@@ -941,8 +980,7 @@ class CondRealNVP:
             and len(self.nested_sizes) >= 2
             and getattr(self.coupling, "fusable", False)
             and (not train or float(self.dropout) == 0.0)
-            and jax.default_backend() == "tpu"
-            and jax.device_count() == 1  # see _use_fused
+            and _fused_platform_ok()  # see _use_fused
         )
 
     def forward_fused_flow(
@@ -962,7 +1000,10 @@ class CondRealNVP:
             mode = "highest"
         with jax.default_matmul_precision("highest" if mode == "x3" else self.precision):
             kargs, h_proj = self._fused_flow_args(params, h)
-            return fused_flow_train(y, h_proj, kargs, block_b=block_b, precision=mode)
+            return fused_flow_train(
+                y, h_proj, kargs, block_b=block_b, precision=mode,
+                interpret=_pallas_interpret(),
+            )
 
     def inverse_fused_flow(
         self, params: Params, z_flat: jnp.ndarray, h: jnp.ndarray, block_b: int = 512
@@ -996,7 +1037,7 @@ class CondRealNVP:
             out = fused_flow(
                 z_flat, h_proj, **kargs,
                 inverse=True, n_cond=N, block_b=bb,
-                precision=mode,
+                precision=mode, interpret=_pallas_interpret(),
             )
         return out[:B] if Bp != B else out
 

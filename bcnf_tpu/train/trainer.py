@@ -127,18 +127,56 @@ class Trainer:
             loss = (nll + mse * hybrid_weight) / (1 + hybrid_weight)
             return loss, (nll, mse, jnp.mean(log_det))
 
+        if self.mesh is not None:
+            # DP via shard_map: the step body traces per-shard (params
+            # replicated, batch sharded over the data axis) and reduces
+            # grads/metrics with an explicit pmean over ICI. Unlike plain
+            # jit-with-sharding this keeps the per-device trace single-chip,
+            # so the fused Pallas kernels stay legal inside (`spmd_local`) —
+            # XLA cannot shard-propagate through a custom call, but under
+            # shard_map the kernel simply runs once per chip on its shard.
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from bcnf_tpu.models.cnf import spmd_local
+
+            axis = self.mesh.axis_names[0]
+
+            def _local_grads(params: Any, y: jnp.ndarray, conditions: tuple, rng: jax.Array) -> tuple:
+                # per-shard dropout keys must differ or all chips drop the
+                # same units (dropout=0 paths are key-independent)
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+                with spmd_local():
+                    (loss, (nll, mse, ld)), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(params, y, conditions, rng)
+                metrics = jax.lax.pmean(jnp.stack([loss, nll, mse, ld]), axis)
+                return jax.lax.pmean(grads, axis), metrics
+
+            grad_fn = shard_map(
+                _local_grads,
+                mesh=self.mesh,
+                in_specs=(P(), P(axis), P(axis), P()),
+                out_specs=(P(), P()),
+                check_vma=False,  # pallas_call outputs carry no vma info
+            )
+        else:
+
+            def grad_fn(params: Any, y: jnp.ndarray, conditions: tuple, rng: jax.Array) -> tuple:
+                (loss, (nll, mse, ld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, y, conditions, rng
+                )
+                return grads, jnp.stack([loss, nll, mse, ld])
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params: Any, opt_state: Any, y: jnp.ndarray, conditions: tuple, rng: jax.Array) -> tuple:
-            (loss, (nll, mse, ld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, y, conditions, rng
-            )
+            grads, metrics = grad_fn(params, y, conditions, rng)
             if freeze_features and "features" in grads:
                 # pretrained-conditioner workflow: flow-only training
                 grads = dict(grads)
                 grads["features"] = jax.tree.map(jnp.zeros_like, grads["features"])
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            metrics = jnp.stack([loss, nll, mse, ld])
             return params, opt_state, metrics
 
         @jax.jit

@@ -87,6 +87,49 @@ def main() -> None:
                 print(f"pallas {label:>8} block_b={bb}: FAILED {str(e)[:100]}")
                 results[f"pallas_{label}_b{bb}"] = None
 
+    # training step: fused differentiable kernel (fused_flow_train, engaged
+    # through model.forward when use_pallas=True) vs the XLA scan path —
+    # full value_and_grad + clipped-Adam update on the flagship model
+    import optax
+    from bcnf_tpu.utils.misc import inn_nll_loss
+
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-4))
+    for B_train in (256, 4096):
+        y_tr = jnp.asarray(rng.normal(size=(B_train, model.size)).astype(np.float32))
+        c_tr = jnp.asarray(rng.normal(size=(B_train, 30, 3)).astype(np.float32))
+        for fused in (False, True):
+            model.use_pallas = fused
+            model.precision = "highest"
+
+            def train_step(p, opt_state, y, c):
+                def loss_fn(pp):
+                    z, ld = model.forward(pp, y, c)
+                    return inn_nll_loss(z, ld)
+
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                updates, opt_state = optimizer.update(grads, opt_state, p)
+                return optax.apply_updates(p, updates), opt_state, loss
+
+            step = jax.jit(train_step)
+            key = f"train_b{B_train}_{'pallas' if fused else 'xla'}"
+            try:
+                opt_state = optimizer.init(params)
+                p2, opt_state, loss = step(params, opt_state, y_tr, c_tr)
+                _ = np.asarray(loss).ravel()[0]
+                t0 = time.perf_counter()
+                reps = 10 if B_train <= 1024 else 5
+                for _ in range(reps):
+                    p2, opt_state, loss = step(p2, opt_state, y_tr, c_tr)
+                jax.block_until_ready(loss)
+                _ = np.asarray(loss).ravel()[0]
+                dt = (time.perf_counter() - t0) / reps
+                results[key] = B_train / dt
+                print(f"{key}: {B_train/dt:,.0f} train samples/s")
+            except Exception as e:
+                print(f"{key}: FAILED {str(e)[:120]}")
+                results[key] = None
+    model.use_pallas = True
+
     # correctness vs XLA highest
     model.precision = "highest"
     with jax.default_matmul_precision("highest"):
