@@ -448,9 +448,12 @@ def _cmd_eval(args: argparse.Namespace) -> None:
         report["resim_finite_frac"] = float(finite.mean())
         poi_r = impact_points(X_resim)
         poi_t = impact_points(X_true)
-        report["impact_rmse"] = float(
-            np.sqrt(np.nanmean(np.nansum((poi_r - poi_t[:, None]) ** 2, axis=-1)))
-        )
+        # plain sum so an all-NaN impact point (no impact / diverged resim)
+        # propagates to NaN and is *excluded* by nanmean instead of counting
+        # as zero error (nansum would silently turn it into 0).
+        sq = ((poi_r - poi_t[:, None]) ** 2).sum(axis=-1)
+        report["impact_rmse"] = float(np.sqrt(np.nanmean(sq)))
+        report["impact_defined_frac"] = float(np.isfinite(sq).mean())
         plot_resimulation(X_true, X_resim).savefig(
             os.path.join(args.output_dir, "resimulation.png"), dpi=150
         )

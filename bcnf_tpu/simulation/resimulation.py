@@ -125,4 +125,7 @@ def impact_points(trajectories: np.ndarray) -> np.ndarray:
     dz = p_next[..., 2] - p_prev[..., 2]
     frac = np.where(np.abs(dz) > 1e-12, -p_prev[..., 2] / np.where(np.abs(dz) > 1e-12, dz, 1.0), 0.0)
     poi = p_prev + frac[..., None] * (p_next - p_prev)
-    return np.where(hit[..., None], poi, np.nan)
+    # Diverged (non-finite) trajectories can place inf in p_prev/p_next; a
+    # non-finite crossing is "no impact", not an infinite impact point.
+    ok = hit[..., None] & np.isfinite(poi).all(axis=-1, keepdims=True)
+    return np.where(ok, poi, np.nan)

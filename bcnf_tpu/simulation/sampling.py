@@ -21,7 +21,6 @@ Acceptance rules mirror the reference exactly:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax
@@ -32,6 +31,7 @@ from bcnf_tpu.config import load_yaml
 from bcnf_tpu.simulation.camera import get_cams_position, record_trajectory
 from bcnf_tpu.simulation.physics import n_steps_for, point_of_impact, simulate_trajectory
 from bcnf_tpu.simulation.priors import HashableConfig, sample_ballistic_parameters
+from bcnf_tpu.utils.jit import tpu_safe_jit
 from bcnf_tpu.utils.prng import key_from_seed
 
 
@@ -111,7 +111,7 @@ def accept_traveled_distance(key: jax.Array, distance: jnp.ndarray) -> jnp.ndarr
 # coexist.
 
 
-@partial(jax.jit, static_argnames=("batch", "prior", "num_cams", "dt", "do_filter"))
+@tpu_safe_jit(static_argnames=("batch", "prior", "num_cams", "dt", "do_filter"))
 def _stage_params(
     key: jax.Array, batch: int, prior: HashableConfig, num_cams: int, dt: float, do_filter: bool
 ) -> tuple[dict[str, jnp.ndarray], jnp.ndarray]:
@@ -132,7 +132,7 @@ def _stage_params(
     return p, accept
 
 
-@partial(jax.jit, static_argnames=("n_steps", "dt", "break_on_impact", "n_substeps"))
+@tpu_safe_jit(static_argnames=("n_steps", "dt", "break_on_impact", "n_substeps"))
 def _stage_trajectory(
     p: dict[str, jnp.ndarray], n_steps: int, dt: float, break_on_impact: bool,
     n_substeps: int = 4,
@@ -152,8 +152,7 @@ def _stage_trajectory(
     )
 
 
-@partial(
-    jax.jit,
+@tpu_safe_jit(
     static_argnames=("ratio", "fov_horizontal", "renderer", "legacy_cam_geometry", "num_cams"),
 )
 def _stage_render(

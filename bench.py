@@ -37,9 +37,25 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-# Estimated reference GPU throughput (samples/s) for vs_baseline; the
-# reference publishes no throughput baseline (BASELINE.md).
-REFERENCE_SAMPLES_PER_SEC = 400.0
+def _reference_samples_per_sec() -> float:
+    """Measured reference-torch throughput for vs_baseline.
+
+    The reference publishes no throughput baseline (BASELINE.md), so we use
+    the number measured on this host by scripts/reference_torch_bench
+    (results/reference_torch_cpu.json: the reference's own train step, torch
+    CPU, flagship trajectory_LSTM_large config). Falls back to that measured
+    value as a constant if the file is missing.
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "reference_torch_cpu.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["train_samples_per_sec"])
+    except (OSError, KeyError, ValueError):
+        return 162.4
+
+
+REFERENCE_SAMPLES_PER_SEC = _reference_samples_per_sec()
 
 BATCH = 4096       # headline (throughput-optimal, round-1 sweep)
 BATCH_REF = 256    # reference protocol batch (secondary)

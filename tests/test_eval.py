@@ -66,6 +66,18 @@ def test_impact_points_interpolation():
     assert np.isnan(impact_points(up)).all()
 
 
+def test_impact_points_nonfinite_trajectory_is_nan():
+    # a diverged resimulation (inf positions around the crossing) must yield
+    # NaN, never +/-inf leaking into downstream RMSE aggregation
+    bad = np.array([[[0, 0, 1.0], [np.inf, np.inf, -np.inf], [0, 0, -1.0]]])
+    poi = impact_points(bad)
+    assert not np.isinf(poi).any()
+    assert np.isnan(poi).all()
+    # NaN-poisoned trajectory likewise
+    nan_traj = np.array([[[0, 0, 1.0], [np.nan, 0, -1.0], [0, 0, -2.0]]])
+    assert not np.isinf(impact_points(nan_traj)).any()
+
+
 def test_data_plots_create():
     import pandas as pd
 
