@@ -634,22 +634,35 @@ class CondRealNVP:
         blocks = params.get("blocks")
         if blocks is None or "actnorm" not in blocks:
             return params
-        h = self.encode(params, conditions) if self.features is not None else None
-        scale = blocks["actnorm"]["scale"]
-        bias = blocks["actnorm"]["bias"]
-        x = y
+
+        # One jitted program (not an eager walk): over the axon tunnel each
+        # eager primitive is a separate device round-trip, which turns this
+        # one-time init into minutes of dispatch latency for deep stacks.
+        from bcnf_tpu.utils.jit import tpu_safe_jit
+
         n_inner = self.n_blocks - 1
-        with jax.default_matmul_precision(self.precision):
-            for i in range(n_inner):
-                mu = jnp.mean(x, axis=0)
-                sd = jnp.std(x, axis=0) + eps
-                s_i, b_i = 1.0 / sd, -mu / sd
-                scale = scale.at[i].set(s_i)
-                bias = bias.at[i].set(b_i)
-                x = x * s_i + b_i
-                cp_i = jax.tree.map(lambda p: p[i], blocks["coupling"])
-                x, _ = self.coupling.forward(cp_i, x, h)
-                x = x @ blocks["ortho"][i]
+
+        @tpu_safe_jit
+        def _compute(params: Params, y: jnp.ndarray, conditions: tuple) -> tuple:
+            blocks = params["blocks"]
+            h = self.encode(params, conditions) if self.features is not None else None
+            scale = blocks["actnorm"]["scale"]
+            bias = blocks["actnorm"]["bias"]
+            x = y
+            with jax.default_matmul_precision(self.precision):
+                for i in range(n_inner):
+                    mu = jnp.mean(x, axis=0)
+                    sd = jnp.std(x, axis=0) + eps
+                    s_i, b_i = 1.0 / sd, -mu / sd
+                    scale = scale.at[i].set(s_i)
+                    bias = bias.at[i].set(b_i)
+                    x = x * s_i + b_i
+                    cp_i = jax.tree.map(lambda p: p[i], blocks["coupling"])
+                    x, _ = self.coupling.forward(cp_i, x, h)
+                    x = x @ blocks["ortho"][i]
+            return scale, bias
+
+        scale, bias = _compute(params, y, tuple(conditions))
         new_blocks = dict(blocks)
         new_blocks["actnorm"] = {"scale": scale, "bias": bias}
         new_params = dict(params)

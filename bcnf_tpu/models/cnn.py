@@ -18,7 +18,7 @@ Encodes `(B, n_cams, T, H, W)` grayscale videos into per-frame features
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -34,7 +34,6 @@ from bcnf_tpu.ops.lstm import lstm_apply, lstm_init
 from bcnf_tpu.ops.nn import (
     Params,
     dropout,
-    fft_features,
     get_activation,
     linear_apply,
     linear_init,

@@ -26,7 +26,7 @@ checks per batch at `trainer.py:168`).
 from __future__ import annotations
 
 import time
-from functools import partial
+
 from typing import Any, Sequence
 
 import jax
@@ -45,9 +45,9 @@ from bcnf_tpu.train.optim import (
     make_optimizer,
     set_learning_rate,
 )
+from bcnf_tpu.utils.jit import tpu_safe_jit
 from bcnf_tpu.utils.misc import get_data_type, inn_nll_loss
 from bcnf_tpu.parallel.mesh import batch_sharding, replicate, shard_batch
-
 
 class Trainer:
     """Reference `Trainer` (`src/bcnf/train/trainer.py:20`) with a jitted core."""
@@ -168,7 +168,10 @@ class Trainer:
                 )
                 return grads, jnp.stack([loss, nll, mse, ld])
 
-        @partial(jax.jit, donate_argnums=(0, 1))
+        # tpu_safe_jit (not plain jit): current libtpu can abort or hang in
+        # XLA's memory-bound loop optimizer on scan-heavy programs (see
+        # utils/jit.py); the video CNN+LSTM+flow step is exactly that shape.
+        @tpu_safe_jit(donate_argnums=(0, 1))
         def train_step(params: Any, opt_state: Any, y: jnp.ndarray, conditions: tuple, rng: jax.Array) -> tuple:
             grads, metrics = grad_fn(params, y, conditions, rng)
             if freeze_features and "features" in grads:
@@ -179,7 +182,7 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
 
-        @jax.jit
+        @tpu_safe_jit
         def val_step(params: Any, y: jnp.ndarray, conditions: tuple, w: jnp.ndarray) -> tuple:
             # `w` is 1 for real rows, 0 for wrap-around pad rows: every batch
             # has the same static shape, so this compiles exactly once.
@@ -241,8 +244,13 @@ class Trainer:
         data_sharding = None
         if self.mesh is not None:
             data_sharding = batch_sharding(self.mesh, 1)
+        if self.verbose:
+            print(f"[trainer] staging dataset to device ({y_tr.nbytes / 1e6:.0f} MB labels + "
+                  f"{sum(c.nbytes for c in c_tr) / 1e6:.0f} MB conditions)...", flush=True)
         train_set = DeviceDataset(y_tr, c_tr, None)
         val_set = DeviceDataset(y_val, c_val, None)
+        if self.verbose:
+            print("[trainer] dataset staged", flush=True)
 
         key = jax.random.key(self.seed)
         if params is None:
@@ -268,10 +276,18 @@ class Trainer:
             and "actnorm" in params["blocks"]
             and bool(jnp.all(params["blocks"]["actnorm"]["scale"] == 1.0))
         ):
-            nb = min(1024, train_set.n)
+            # Cap the init batch at one *training* batch (Glow semantics): the
+            # train step must fit batch_size rows, so this can never OOM where
+            # training wouldn't — video conditions at 1024 rows blow HBM (the
+            # CNN sees rows x cams x T frames at once).
+            nb = min(1024, train_set.n, int(cfg_t.get("batch_size", 1024)))
+            if self.verbose:
+                print(f"[trainer] actnorm data init ({nb} rows, compiles once)...", flush=True)
             params = model.init_actnorm(
                 params, train_set.y[:nb], *[c[:nb] for c in train_set.conditions]
             )
+            if self.verbose:
+                print("[trainer] actnorm init done", flush=True)
         params = replicate(self.mesh, params)
         opt_state = replicate(self.mesh, optimizer.init(params))
 
@@ -325,6 +341,8 @@ class Trainer:
         # (drop_remainder) training batches per epoch
         batch_size = min(batch_size, train_set.n)
 
+        if self.verbose:
+            print("[trainer] entering epoch loop (first step compiles)...", flush=True)
         for epoch in range(start_epoch, n_epochs):
             ms.update_epoch(epoch)
 
@@ -445,7 +463,6 @@ class Trainer:
 
         ms.parameter_history["stop_reason"] = "max_epochs"
         return finish(params)
-
 
 def train_CondRealNVP(
     model: Any,

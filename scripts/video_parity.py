@@ -92,7 +92,7 @@ def main() -> None:
         cfg, run_name=NAME,
         parameter_index_mapping=model.parameter_index_mapping,
         hybrid_weight=cfg["global"].get("hybrid_weight", 0) or 0,
-        verbose=False,
+        verbose=True,  # epoch lines make tunnel-compile stalls diagnosable
     )
     tr0 = time.time()
     params = trainer.train(model, params)
