@@ -211,15 +211,23 @@ def _cmd_train(args: argparse.Namespace) -> None:
         )
         n_steps = args.online_steps or int(cfg["training"].get("online_steps", 5000))
         opt_kwargs = dict(cfg["optimizer"].get("kwargs", {}))
+        batch = int(cfg["training"]["batch_size"])
+        if mesh is not None and batch % mesh.devices.size != 0:
+            batch -= batch % mesh.devices.size  # even per-device shards
         params, history = train_online(
             model, params, simulator,
             n_steps=n_steps,
-            batch_size=int(cfg["training"]["batch_size"]),
+            batch_size=batch,
             lr=float(opt_kwargs.get("lr", 2e-4)),
             hybrid_weight=float(cfg["global"].get("hybrid_weight", 0) or 0),
             seed=args.seed or 0,
             sink=_MS(*sinks),
             timeout=cfg["training"].get("timeout"),
+            mesh=mesh,
+            checkpoint_dir=(os.path.join(resolved, "ckpts")
+                            if args.checkpoint_every else None),
+            checkpoint_every=args.checkpoint_every or 500,
+            resume=bool(args.checkpoint_every),
         )
         if is_host_zero():
             with open(os.path.join(resolved, "params.pkl"), "wb") as f:
@@ -422,12 +430,61 @@ def _cmd_eval(args: argparse.Namespace) -> None:
         os.path.join(args.output_dir, "cdf_residuals.png"), dpi=150
     )
 
+    # Rank statistics are undefined for parameters that are *constant* in
+    # the dataset: the reference's default prior fixes a_x/a_y/a_z at zero
+    # (reference `configs/data/config.yaml` -> `a: std: 0`), so every test
+    # point lands at the same posterior quantile and the scaled CDF residual
+    # saturates at ~sqrt(N)/2 regardless of model quality. The headline
+    # metric therefore covers only non-degenerate dimensions; degenerate
+    # ones are listed separately with their residuals.
+    y_np = np.asarray(y)
+    degenerate = np.asarray(y_np.std(axis=0) < 1e-12)
+    per_dim = np.abs(resid).max(axis=1)  # resid: (D, t_divisions)
+    nondegen_max = float(per_dim[~degenerate].max()) if (~degenerate).any() else 0.0
+
+    # Identifiability diagnostic: per-dim posterior width (mean posterior
+    # std across test points) against the dataset's marginal spread, and the
+    # posterior bias |E[theta|x] - theta*|. For dimensions the condition
+    # (nearly) determines — x0/v0 are read directly off a noise-free
+    # trajectory — the true posterior approaches a point mass, so the rank
+    # statistic degenerates into a bias/width ratio and SBC loses meaning as
+    # training sharpens the posterior past the reference's NLL level.
+    post_mean = np.zeros_like(y_np)
+    post_sq = np.zeros_like(y_np)
+    n_diag = 512
+    for b in range(0, len(y_np), 100):
+        cond_b = [jnp.asarray(c[b: b + 100]) for c in conditions]
+        draws = model.sample(params, jax.random.key(args.seed + 7), n_diag, *cond_b)
+        draws = np.asarray(draws)  # (n_diag, B, D)
+        post_mean[b: b + 100] = draws.mean(axis=0)
+        post_sq[b: b + 100] = draws.std(axis=0)
+    width = post_sq.mean(axis=0)
+    bias = np.abs(post_mean - y_np).mean(axis=0)
+    prior_spread = y_np.std(axis=0)
+
     report = {
         "test_nll": test_nll,
         "n_points": int(len(y)),
         "M_samples": args.m_samples,
         "rank_mean_frac": float(np.mean(ranks) / args.m_samples),
-        "max_scaled_cdf_residual": float(np.abs(resid).max()),
+        "max_scaled_cdf_residual": nondegen_max,
+        "max_scaled_cdf_residual_all_dims": float(per_dim.max()),
+        "scaled_cdf_residual_by_dim": {
+            n: round(float(v), 4) for n, v in zip(names, per_dim)
+        },
+        "degenerate_dims": [n for n, d in zip(names, degenerate) if d],
+        # 99% quantile of sup|Brownian bridge| (Kolmogorov distribution):
+        # the pass bar for max_scaled_cdf_residual under perfect calibration
+        "sup_band_99": 1.628,
+        "posterior_width_by_dim": {
+            n: round(float(v), 5) for n, v in zip(names, width)
+        },
+        "posterior_bias_by_dim": {
+            n: round(float(v), 5) for n, v in zip(names, bias)
+        },
+        "data_spread_by_dim": {
+            n: round(float(v), 5) for n, v in zip(names, prior_spread)
+        },
     }
 
     if not args.skip_resim:
@@ -449,10 +506,23 @@ def _cmd_eval(args: argparse.Namespace) -> None:
         poi_r = impact_points(X_resim)
         poi_t = impact_points(X_true)
         # plain sum so an all-NaN impact point (no impact / diverged resim)
-        # propagates to NaN and is *excluded* by nanmean instead of counting
+        # propagates to NaN and is *excluded* by nanmedian instead of counting
         # as zero error (nansum would silently turn it into 0).
         sq = ((poi_r - poi_t[:, None]) ** 2).sum(axis=-1)
-        report["impact_rmse"] = float(np.sqrt(np.nanmean(sq)))
+        dist = np.sqrt(sq)
+        # The impact-error distribution is heavy-tailed: a small fraction of
+        # posterior draws produce runaway trajectories whose sign-change
+        # "impact" lies arbitrarily far out, making a plain RMSE meaningless.
+        # The reference's resimulation notebook never reports a scalar RMSE —
+        # it shows *median* error curves and impact heatmaps clipped to
+        # |x| <= 42 (reference `notebooks/resimulation.ipynb` cells 20, 24) —
+        # so the scalar summaries here are the median distance and an RMSE
+        # over the same +-42 m heatmap window.
+        report["impact_median_dist"] = float(np.nanmedian(dist))
+        inlier = np.abs(poi_r[..., :2]).max(axis=-1) <= 42.0
+        sq_in = np.where(inlier, sq, np.nan)
+        report["impact_rmse_within_42m"] = float(np.sqrt(np.nanmean(sq_in)))
+        report["impact_inlier_frac"] = float(np.nanmean(inlier.astype(np.float64)))
         report["impact_defined_frac"] = float(np.isfinite(sq).mean())
         plot_resimulation(X_true, X_resim).savefig(
             os.path.join(args.output_dir, "resimulation.png"), dpi=150

@@ -785,7 +785,7 @@ class CondRealNVP:
         r_feat, r_blocks, r_final, _ = self._rngs(rng)
         h = self.encode(params, conditions, r_feat, train) if self.features is not None else None
 
-        if h is not None and self._use_fused_train(train):
+        if h is not None and self._use_fused_train(train, batch=int(y.shape[0])):
             res = self.forward_fused_flow(params, y, h)
             if res is not None:
                 z, log_det = res
@@ -982,10 +982,24 @@ class CondRealNVP:
         kargs, h_proj = pad_hidden(kargs, h_proj)
         return kargs, h_proj
 
-    def _use_fused_train(self, train: bool) -> bool:
+    # Minimum batch size for the fused whole-flow *training* kernel.
+    # Measured on 1x v5e (results/flow_kernel_bench.json): the fused train
+    # step loses to XLA at batch 256 (14.7k vs 14.9k samples/s) and wins at
+    # batch 4096 (+12%); its Mosaic backward kernel also costs ~234 s of
+    # compile at batch 256 (BENCH_r02) vs ~14 s for the XLA path. Small
+    # batches therefore take the XLA path. Override per-model via the
+    # `fused_train_min_batch` attribute or globally via the
+    # BCNF_FUSED_TRAIN_MIN_BATCH env var.
+    fused_train_min_batch: int = 2048
+
+    def _use_fused_train(self, train: bool, batch: int | None = None) -> bool:
         """Fused training-step gate: same structural requirements as
         `_use_fused` plus a dropout-free coupling MLP when `train=True`
-        (the training kernel has no in-kernel PRNG)."""
+        (the training kernel has no in-kernel PRNG), plus a measured
+        batch-size floor (see `fused_train_min_batch`)."""
+        min_batch = int(os.environ.get(
+            "BCNF_FUSED_TRAIN_MIN_BATCH", self.fused_train_min_batch
+        ))
         return (
             self.use_pallas
             and self.n_conditions > 0
@@ -993,6 +1007,7 @@ class CondRealNVP:
             and len(self.nested_sizes) >= 2
             and getattr(self.coupling, "fusable", False)
             and (not train or float(self.dropout) == 0.0)
+            and (batch is None or batch >= min_batch)
             and _fused_platform_ok()  # see _use_fused
         )
 

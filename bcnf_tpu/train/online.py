@@ -18,6 +18,7 @@ for data parallelism comes from folding the device index into the key.
 from __future__ import annotations
 
 import math
+import os
 import time
 from functools import partial
 from typing import Any, Callable, Sequence
@@ -140,17 +141,32 @@ def train_online(
     sink: MetricSink | None = None,
     timeout: float | None = None,
     loss_fn: Callable | None = None,
+    mesh: Any = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 500,
+    resume: bool = False,
 ) -> tuple[Any, dict]:
     """Step-based training loop over fresh simulated batches.
 
     The data-generation program and the train step fuse into one dispatch
     pipeline; evaluation draws held-out fresh batches (infinite data: the
     "validation set" is just more simulation).
+
+    With `mesh` the step runs data-parallel via shard_map: each device folds
+    its axis index into the PRNG key, simulates its own `batch_size /
+    n_devices` shard on-device (no host data movement at all), and gradients
+    are pmean-reduced over the mesh axis. Because the per-shard trace is
+    single-device, the fused Pallas kernels stay legal inside
+    (`bcnf_tpu.models.cnf.spmd_local`, same scheme as the Trainer's DP step).
+
+    With `checkpoint_dir` the loop saves `{params, opt_state, key, step}`
+    every `checkpoint_every` steps (atomic, host-0) and `resume=True`
+    restarts from the newest checkpoint — the step counter and PRNG key are
+    restored, so a resumed run continues the exact data stream.
     """
     optimizer = optax.chain(
         optax.clip_by_global_norm(max_grad_norm), optax.adam(lr)
     )
-    opt_state = optimizer.init(params)
     loss_fn = loss_fn or inn_nll_loss
     n_cond = model.n_conditions
 
@@ -166,16 +182,53 @@ def train_online(
             mse = jnp.mean((model.predict_head(params, h) - y) ** 2)
         return (nll + mse * hybrid_weight) / (1 + hybrid_weight), (nll, mse)
 
-    @partial(jax.jit, donate_argnums=(1, 2))
-    def step_fn(key: jax.Array, params: Any, opt_state: Any) -> tuple:
+    def _grads(key: jax.Array, params: Any, batch: int) -> tuple:
         k_data, k_drop = jax.random.split(key)
-        y, conditions = simulator.sample_batch(k_data, batch_size)
+        y, conditions = simulator.sample_batch(k_data, batch)
         (loss, (nll, mse)), grads = jax.value_and_grad(objective, has_aux=True)(
             params, y, conditions, k_drop
         )
+        return grads, jnp.stack([loss, nll, mse])
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from bcnf_tpu.models.cnf import spmd_local
+        from bcnf_tpu.parallel.mesh import replicate
+
+        axis = mesh.axis_names[0]
+        n_dev = int(mesh.devices.size)
+        if batch_size % n_dev != 0:
+            raise ValueError(
+                f"online batch_size={batch_size} must divide the mesh size {n_dev}"
+            )
+        local_batch = batch_size // n_dev
+
+        def local_grads(key: jax.Array, params: Any) -> tuple:
+            # independent per-chip data stream: fold the device index in
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            with spmd_local():
+                grads, metrics = _grads(key, params, local_batch)
+            return jax.lax.pmean(grads, axis), jax.lax.pmean(metrics, axis)
+
+        grad_fn = shard_map(
+            local_grads, mesh=mesh,
+            in_specs=(P(), P()), out_specs=(P(), P()),
+            check_vma=False,  # pallas_call outputs carry no vma info
+        )
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, optimizer.init(params))
+    else:
+        grad_fn = partial(_grads, batch=batch_size)
+        opt_state = optimizer.init(params)
+
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def step_fn(key: jax.Array, params: Any, opt_state: Any) -> tuple:
+        grads, metrics = grad_fn(key, params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, jnp.stack([loss, nll, mse])
+        return params, opt_state, metrics
 
     @jax.jit
     def eval_fn(key: jax.Array, params: Any) -> jnp.ndarray:
@@ -184,9 +237,40 @@ def train_online(
         return loss_fn(z, log_det)
 
     key = jax.random.key(seed)
+    step_start = 0
     history: dict[str, list] = {"train_loss": [], "eval_nll": []}
+
+    if checkpoint_dir is not None and resume:
+        from bcnf_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+
+        ckpt_path = latest_checkpoint(checkpoint_dir, prefix="online_")
+        if ckpt_path is not None:
+            state = load_checkpoint(ckpt_path)
+            restore = (lambda t: jax.tree.map(jnp.asarray, t)) if mesh is None else (
+                lambda t: replicate(mesh, jax.tree.map(jnp.asarray, t)))
+            params = restore(state["params"])
+            opt_state = restore(state["opt_state"])
+            key = jax.random.wrap_key_data(jnp.asarray(state["key"]))
+            step_start = int(state["step"])
+            history = state.get("history", history)
+            history.pop("stop_reason", None)
+
+    def _save(step: int) -> None:
+        if checkpoint_dir is None:
+            return
+        from bcnf_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            os.path.join(checkpoint_dir, f"online_{step}.pkl"),
+            {"params": params, "opt_state": opt_state,
+             "key": jax.random.key_data(key), "step": step, "history": history},
+            metadata={"step": step, "batch_size": batch_size, "seed": seed},
+        )
+
     start = time.time()
-    for step in range(n_steps):
+    stop_reason = "max_steps"
+    step = step_start
+    for step in range(step_start, n_steps):
         key, sub = jax.random.split(key)
         params, opt_state, metrics = step_fn(sub, params, opt_state)
         if (step + 1) % eval_every == 0 or step == n_steps - 1:
@@ -199,8 +283,12 @@ def train_online(
             history["eval_nll"].append((step + 1, eval_nll))
             if sink is not None:
                 sink.log({"train_loss": float(m[0]), "eval_nll": eval_nll}, step + 1)
+        if (step + 1) % checkpoint_every == 0:
+            _save(step + 1)
         if timeout is not None and time.time() - start > timeout:
-            history["stop_reason"] = "timeout"
-            return params, history
-    history["stop_reason"] = "max_steps"
+            stop_reason = "timeout"
+            break
+    if checkpoint_dir is not None:
+        _save(step + 1)
+    history["stop_reason"] = stop_reason
     return params, history

@@ -108,14 +108,20 @@ def main() -> None:
     y_test, conds_test = handler.get_data_for_training(
         test_cfg, model.parameter_index_mapping
     )
-    nlls = []
+    hybrid_w = float(cfg["global"].get("hybrid_weight", 0) or 0)
+    nlls, mses = [], []
     for b in range(0, len(y_test), 256):
-        z, ld = model.forward(
-            params, jnp.asarray(y_test[b: b + 256]),
-            *[jnp.asarray(c[b: b + 256]) for c in conds_test],
-        )
+        yb = jnp.asarray(y_test[b: b + 256])
+        cb = [jnp.asarray(c[b: b + 256]) for c in conds_test]
+        if hybrid_w > 0:
+            z, ld, h = model.forward(params, yb, *cb, return_features=True)
+            mses.append(np.asarray(
+                jnp.mean((model.predict_head(params, h) - yb) ** 2, axis=-1)))
+        else:
+            z, ld = model.forward(params, yb, *cb)
         nlls.append(np.asarray(inn_nll_loss(z, ld, reduction="none")))
     test_nll = float(np.concatenate(nlls).mean())
+    test_mse = float(np.concatenate(mses).mean()) if mses else None
 
     ref = REFERENCE_NLL.get(name)
     epochs_to_ref = None
@@ -133,6 +139,14 @@ def main() -> None:
         "val_nll": float(val_nll),
         "best_val_rolling": float(best_val),
         "test_nll": test_nll,
+        # hybrid objective (reference `src/bcnf/train/trainer.py:261-269`):
+        # loss = (nll + w*mse) / (1 + w) with the MSE head on the encoder
+        "hybrid_weight": hybrid_w or None,
+        "test_mse_head": test_mse,
+        "test_hybrid_loss": (
+            (test_nll + hybrid_w * test_mse) / (1 + hybrid_w)
+            if test_mse is not None else None
+        ),
         "reference_train_val_test": ref,
         "epochs_to_reference_val_nll": epochs_to_ref,
         "wall_s": time.time() - t0,

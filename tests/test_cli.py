@@ -83,6 +83,7 @@ def test_cli_generate(tiny_config, tmp_path):
     assert len(data["trajectories"]) == 16
 
 
+@pytest.mark.slow
 def test_cli_train_then_sample(tiny_config, tmp_path):
     path, d = tiny_config
     out_dir = str(tmp_path / "model")
@@ -101,6 +102,7 @@ def test_cli_train_then_sample(tiny_config, tmp_path):
     assert np.isfinite(s).all()
 
 
+@pytest.mark.slow
 def test_cli_train_online(tiny_config, tmp_path):
     path, _ = tiny_config
     out_dir = str(tmp_path / "online_model")
@@ -111,6 +113,7 @@ def test_cli_train_online(tiny_config, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "params.pkl"))
 
 
+@pytest.mark.slow
 def test_cli_hpo_smoke(tiny_config, tmp_path):
     """bcnf-tpu hpo: two GP iterations over the tiny dataset, checkpoint +
     best.json written; re-invocation resumes from the checkpoint."""

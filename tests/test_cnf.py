@@ -91,6 +91,7 @@ def test_flow_invertibility(two_way, act_norm):
 
 
 @pytest.mark.parametrize("coupling", ["affine", "rqs"])
+@pytest.mark.slow
 def test_log_det_matches_autodiff_jacobian(coupling):
     model = _model(coupling=coupling, n_blocks=3, two_way=True)
     params = model.init(jax.random.key(0))
@@ -204,6 +205,7 @@ def test_hybrid_head():
     assert y_hat.shape == y.shape
 
 
+@pytest.mark.slow
 def test_remat_grads_match_baseline():
     """Block-boundary remat (CondRealNVP.remat) is a pure memory/HBM-traffic
     optimization: loss and gradients must be bit-comparable to the
@@ -228,6 +230,7 @@ def test_remat_grads_match_baseline():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_ortho_is_not_trainable():
     """The orthonormal mixing matrices are fixed buffers (reference
     `cnf.py:322-324`): gradients must be exactly zero so Adam never drifts

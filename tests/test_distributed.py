@@ -19,6 +19,8 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = textwrap.dedent("""
@@ -29,6 +31,7 @@ WORKER = textwrap.dedent("""
     os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
     import jax
+import pytest
     jax.config.update("jax_platforms", "cpu")
     coordinator, pid = sys.argv[1], int(sys.argv[2])
     jax.distributed.initialize(coordinator_address=coordinator,
@@ -82,6 +85,7 @@ WORKER = textwrap.dedent("""
 """)
 
 
+@pytest.mark.slow
 def test_two_process_distributed_training_step(tmp_path):
     port = socket.socket()
     port.bind(("127.0.0.1", 0))

@@ -111,3 +111,40 @@ def test_eval_plot_functions():
     assert plot_cdf_residuals(t, resid) is not None
     poi = rng.normal(size=(2, 50, 3))
     assert plot_impact_heatmap(poi, index=0) is not None
+
+
+def test_compute_y_hat_ranks_exact_posterior_is_uniform():
+    """End-to-end rank machinery check with a known-correct posterior:
+    when `model.sample` draws from the TRUE posterior, ranks are uniform
+    and the scaled CDF residuals stay within the Brownian band. Isolates
+    the rank/CDF code from model quality (round-2 calibration diagnosis)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bcnf_tpu.eval.calibration import compute_y_hat_ranks
+
+    rng = np.random.default_rng(3)
+    N, D = 400, 3
+    # conjugate-Gaussian toy problem: theta ~ N(0, 1), x | theta ~ N(theta, s)
+    # => theta | x ~ N(x / (1 + s^2), s^2 / (1 + s^2))
+    s = 0.7
+    theta = rng.normal(size=(N, D)).astype(np.float32)
+    x = theta + s * rng.normal(size=(N, D)).astype(np.float32)
+    post_mean = x / (1 + s**2)
+    post_std = np.sqrt(s**2 / (1 + s**2))
+
+    class _TruePosterior:
+        def sample(self, params, key, m, cond):
+            noise = jax.random.normal(key, (m, cond.shape[0], D))
+            return jnp.asarray(post_mean_of(cond))[None] + post_std * noise
+
+    def post_mean_of(cond):
+        return np.asarray(cond) / (1 + s**2)
+
+    ranks = compute_y_hat_ranks(
+        _TruePosterior(), None, jnp.asarray(theta), jnp.asarray(x),
+        M_samples=2000, key=jax.random.key(0),
+    )
+    _, resid, _ = compute_CDF_residuals(ranks, 2000)
+    # 99% sup-band for a Brownian bridge is ~1.63; allow slack for MC noise
+    assert np.abs(resid).max() < 2.2, np.abs(resid).max(axis=1)

@@ -254,6 +254,7 @@ def _stacked_forward_ref(x, h_proj, kargs):
     return x, ld
 
 
+@pytest.mark.slow
 def test_fused_train_forward_matches_reference(setup):
     from bcnf_tpu.ops.flow_kernel import fused_flow_train
 
@@ -282,6 +283,7 @@ def test_fused_train_forward_matches_reference(setup):
     np.testing.assert_allclose(np.asarray(ld_k2), np.asarray(ld_x), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_train_grads_match_reference(setup):
     from bcnf_tpu.ops.flow_kernel import fused_flow_train
 

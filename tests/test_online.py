@@ -1,6 +1,7 @@
 """On-device infinite-data training tests."""
 
 import jax
+import pytest
 import numpy as np
 
 from bcnf_tpu.config import ParameterIndexMapping
@@ -48,6 +49,7 @@ def test_sample_batch_deterministic_per_key():
     assert not np.array_equal(np.asarray(y1), np.asarray(y3))
 
 
+@pytest.mark.slow
 def test_train_online_improves():
     sim = _simulator()
     n_cond = 24
@@ -68,3 +70,90 @@ def test_train_online_improves():
     evals = [v for _, v in history["eval_nll"]]
     assert evals[-1] < evals[0], f"online training did not improve: {evals}"
     assert history["stop_reason"] == "max_steps"
+
+
+def _toy_online_model(n_cond=24):
+    stack = FeatureNetworkStack(
+        [
+            ConcatenateCondition(input_size=None, output_size=3),
+            FullyConnectedFeatureNetwork(sizes=[15, 32, n_cond]),
+        ]
+    )
+    return CondRealNVP(
+        size=19, nested_sizes=[32], n_blocks=3, n_conditions=n_cond,
+        feature_network_stack=stack, act_norm=True, random_state=0,
+    )
+
+
+@pytest.mark.slow
+def test_train_online_mesh_dp_improves():
+    """Online training shards over the 8-virtual-device mesh: per-device
+    simulated shards, pmean-reduced grads (VERDICT round-2 item 6)."""
+    from bcnf_tpu.parallel import make_mesh
+
+    sim = _simulator()
+    model = _toy_online_model()
+    params = model.init(jax.random.key(0))
+    mesh = make_mesh(8)
+    params, history = train_online(
+        model, params, sim, n_steps=40, batch_size=64, lr=2e-3,
+        eval_every=20, mesh=mesh,
+    )
+    evals = [v for _, v in history["eval_nll"]]
+    assert np.isfinite(evals).all()
+    assert evals[-1] < evals[0], f"mesh online training did not improve: {evals}"
+    assert np.all([np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(params)])
+
+
+@pytest.mark.slow
+def test_train_online_checkpoint_resume_bitexact(tmp_path):
+    """40 steps + resume to 60 reproduces an uninterrupted 60-step run:
+    the checkpoint restores params, opt state, PRNG key, and step counter."""
+    sim = _simulator()
+    model = _toy_online_model()
+    p0 = model.init(jax.random.key(0))
+
+    straight, _ = train_online(
+        model, jax.tree.map(lambda x: x.copy(), p0), sim,
+        n_steps=60, batch_size=32, lr=2e-3, eval_every=1000,
+    )
+
+    ckpt = str(tmp_path / "online_ckpts")
+    mid, _ = train_online(
+        model, jax.tree.map(lambda x: x.copy(), p0), sim,
+        n_steps=40, batch_size=32, lr=2e-3, eval_every=1000,
+        checkpoint_dir=ckpt, checkpoint_every=20,
+    )
+    resumed, hist = train_online(
+        model, jax.tree.map(lambda x: x.copy(), p0), sim,
+        n_steps=60, batch_size=32, lr=2e-3, eval_every=1000,
+        checkpoint_dir=ckpt, checkpoint_every=20, resume=True,
+    )
+    for a, b in zip(jax.tree.leaves(straight), jax.tree.leaves(resumed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+
+
+@pytest.mark.slow
+def test_train_online_checkpoint_resume_onto_mesh(tmp_path):
+    """A single-device online checkpoint resumes onto a mesh (params are
+    replicated, so checkpoints are topology-independent)."""
+    from bcnf_tpu.parallel import make_mesh
+
+    sim = _simulator()
+    model = _toy_online_model()
+    p0 = model.init(jax.random.key(0))
+    ckpt = str(tmp_path / "online_ckpts")
+    train_online(
+        model, p0, sim, n_steps=20, batch_size=32, lr=2e-3, eval_every=1000,
+        checkpoint_dir=ckpt, checkpoint_every=10,
+    )
+    params, hist = train_online(
+        model, model.init(jax.random.key(1)), sim,
+        n_steps=30, batch_size=32, lr=2e-3, eval_every=10,
+        checkpoint_dir=ckpt, checkpoint_every=10, resume=True,
+        mesh=make_mesh(4),
+    )
+    steps = [s for s, _ in hist["eval_nll"]]
+    assert steps[-1] == 30  # continued to the new budget
+    assert 20 in steps  # restored history is carried through the resume
+    assert np.all([np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(params)])

@@ -106,6 +106,7 @@ def test_sharded_train_step_runs(model_and_params):
     assert float(loss) < l0
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 

@@ -41,6 +41,9 @@ def fusable_model():
         feature_network_stack=stack, act_norm=True, random_state=0,
         use_pallas=True,
     )
+    # tiny test batches must still exercise the fused path despite the
+    # measured batch-size floor (CondRealNVP.fused_train_min_batch)
+    model.fused_train_min_batch = 1
     return model, model.init(jax.random.key(0))
 
 

@@ -248,3 +248,39 @@ def test_pretrained_features_workflow(tmp_path):
         np.asarray(jax.tree.leaves(trained["final"])[0]),
         np.asarray(jax.tree.leaves(fresh["final"])[0]),
     )
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_across_topology(tmp_path):
+    """A checkpoint written under a 4-device mesh resumes on a 2-device mesh
+    (and vice versa): params/opt state are replicated, so checkpoints are
+    topology-independent (VERDICT round-2 item 10)."""
+    from bcnf_tpu.parallel import make_mesh
+
+    model = _toy_model()
+    ckpt = str(tmp_path / "ckpts")
+    trainer = Trainer(
+        _config(n_epochs=4), data=_toy_data(),
+        checkpoint_dir=ckpt, checkpoint_every=2, mesh=make_mesh(4),
+    )
+    trainer.train(model)
+    assert os.path.exists(os.path.join(ckpt, "ckpt_3.pkl"))
+
+    trainer2 = Trainer(
+        _config(n_epochs=6), data=_toy_data(),
+        checkpoint_dir=ckpt, checkpoint_every=2, mesh=make_mesh(2),
+    )
+    params = trainer2.train(model)
+    epochs = [e for e, _ in trainer2.meta_scheduler.parameter_history["val_loss"]]
+    assert min(epochs) == 5  # resumed after epoch 4
+    assert np.all([np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(params)])
+
+    # and back up: 2-device checkpoint resumes single-device
+    trainer3 = Trainer(
+        _config(n_epochs=8), data=_toy_data(),
+        checkpoint_dir=ckpt, checkpoint_every=2, mesh=None,
+    )
+    params = trainer3.train(model)
+    epochs = [e for e, _ in trainer3.meta_scheduler.parameter_history["val_loss"]]
+    assert min(epochs) == 7
+    assert np.all([np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(params)])

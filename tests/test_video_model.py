@@ -6,6 +6,7 @@ consuming two condition groups) at toy sizes.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,6 +46,7 @@ def _video_model(n_meta=7):
     )
 
 
+@pytest.mark.slow
 def test_video_model_forward_and_inverse():
     model = _video_model()
     model.verify()
