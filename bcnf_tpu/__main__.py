@@ -78,7 +78,8 @@ def main(argv: list[str] | None = None) -> None:
     gen_parser.add_argument("--seed", type=int, default=None)
 
     eval_parser = subparsers.add_parser("eval")
-    eval_parser.add_argument("-m", "--model-dir", type=str, required=True, help="Directory with params.pkl + config.json")
+    eval_parser.add_argument("-m", "--model-dir", type=str, required=True,
+                             help="Directory with params.pkl + config.json")
     eval_parser.add_argument("-d", "--data", type=str, required=True, help="Test dataset pickle")
     eval_parser.add_argument("-o", "--output-dir", type=str, required=True, help="Report output directory")
     eval_parser.add_argument("-M", "--m-samples", type=int, default=10_000,
@@ -94,7 +95,8 @@ def main(argv: list[str] | None = None) -> None:
                                   "see results/precision_sweep.json)")
 
     sample_parser = subparsers.add_parser("sample")
-    sample_parser.add_argument("-m", "--model-dir", type=str, required=True, help="Directory with params.pkl + config.json")
+    sample_parser.add_argument("-m", "--model-dir", type=str, required=True,
+                               help="Directory with params.pkl + config.json")
     sample_parser.add_argument("-d", "--data", type=str, required=True, help="Dataset pickle with conditions")
     sample_parser.add_argument("-n", "--n-samples", type=int, default=1000)
     sample_parser.add_argument("-o", "--output", type=str, required=True, help="Output .npy path")

@@ -277,7 +277,9 @@ def train_online(
             m = jax.device_get(metrics)
             evals = []
             for i in range(eval_batches):
-                evals.append(float(eval_fn(jax.random.fold_in(jax.random.key(seed + 1), step * eval_batches + i), params)))
+                k_eval = jax.random.fold_in(
+                    jax.random.key(seed + 1), step * eval_batches + i)
+                evals.append(float(eval_fn(k_eval, params)))
             eval_nll = sum(evals) / len(evals)
             history["train_loss"].append((step + 1, float(m[0])))
             history["eval_nll"].append((step + 1, eval_nll))

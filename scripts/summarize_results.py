@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Regenerate results/README.md: one table row per committed artifact.
+
+Keeps the measurement story auditable — every number cited in
+README/PARITY/PERF should trace to a JSON this index lists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+RESULTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "results")
+
+
+def _fmt(v: object) -> str:
+    if isinstance(v, float):
+        return f"{v:,.4g}"
+    return str(v)
+
+
+def main() -> None:
+    lines = [
+        "# Results index",
+        "",
+        "Every committed measurement artifact, with its headline numbers.",
+        "Regenerate with `python scripts/summarize_results.py`.",
+        "",
+    ]
+
+    parity, evals, benches = [], [], []
+    for name in sorted(os.listdir(RESULTS)):
+        path = os.path.join(RESULTS, name)
+        if os.path.isdir(path):
+            rp = os.path.join(path, "report.json")
+            if os.path.exists(rp):
+                evals.append((name, json.load(open(rp))))
+            continue
+        if not name.endswith(".json"):
+            continue
+        data = json.load(open(path))
+        if name.startswith("parity_"):
+            parity.append((name, data))
+        else:
+            benches.append((name, data))
+
+    if parity:
+        lines += ["## Parity runs (`scripts/parity_run.py`, `scripts/video_parity.py`)", "",
+                  "| artifact | test NLL | reference test NLL | stop | epochs |",
+                  "|---|---|---|---|---|"]
+        for name, d in parity:
+            ref = d.get("reference_train_val_test")
+            lines.append(
+                f"| `{name}` | {_fmt(d.get('test_nll'))} | "
+                f"{_fmt(ref[2]) if ref else '—'} | {d.get('stop_reason', '—')} | "
+                f"{d.get('epochs', '—')} |"
+            )
+        lines.append("")
+
+    if evals:
+        lines += ["## Evaluation reports (`bcnf-tpu eval`)", "",
+                  "| artifact | test NLL | max scaled CDF residual (non-degenerate) | "
+                  "resim median MSE | impact median dist |",
+                  "|---|---|---|---|---|"]
+        for name, d in evals:
+            lines.append(
+                f"| `{name}/` | {_fmt(d.get('test_nll'))} | "
+                f"{_fmt(d.get('max_scaled_cdf_residual'))} | "
+                f"{_fmt(d.get('resim_median_mse_mean', '—'))} | "
+                f"{_fmt(d.get('impact_median_dist', '—'))} |"
+            )
+        lines.append("")
+
+    if benches:
+        lines += ["## Benchmarks & measurements", "",
+                  "| artifact | summary |", "|---|---|"]
+        for name, d in benches:
+            keys = [k for k in ("train_samples_per_sec", "results", "samples_per_s",
+                                "rows_per_s", "what") if k in d]
+            if "train_samples_per_sec" in d:
+                summary = f"{_fmt(d['train_samples_per_sec'])} train samples/s"
+            elif keys and isinstance(d.get(keys[0]), dict):
+                inner = d[keys[0]]
+                summary = f"{len(inner)} measurements ({', '.join(list(inner)[:4])}, ...)"
+            else:
+                summary = d.get("what", f"{len(d)} fields")[:90]
+            lines.append(f"| `{name}` | {summary} |")
+        lines.append("")
+
+    out = os.path.join(RESULTS, "README.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out} ({len(parity)} parity, {len(evals)} evals, {len(benches)} benches)")
+
+
+if __name__ == "__main__":
+    main()

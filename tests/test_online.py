@@ -119,7 +119,7 @@ def test_train_online_checkpoint_resume_bitexact(tmp_path):
     )
 
     ckpt = str(tmp_path / "online_ckpts")
-    mid, _ = train_online(
+    _mid, _ = train_online(
         model, jax.tree.map(lambda x: x.copy(), p0), sim,
         n_steps=40, batch_size=32, lr=2e-3, eval_every=1000,
         checkpoint_dir=ckpt, checkpoint_every=20,
