@@ -132,3 +132,39 @@ def test_cli_hpo_smoke(tiny_config, tmp_path):
          "--n-splits", "2", "--n-epochs", "2", "--n-samples", "64"])
     with open(os.path.join(out_dir, "best.json")) as f:
         assert json.load(f)["n_evaluations"] >= 3
+
+
+@pytest.mark.slow
+def test_cli_eval_report(tiny_config, tmp_path):
+    """`bcnf-tpu eval` produces the full report: NLL, per-dim calibration
+    residuals with degenerate-dim exclusion, posterior diagnostics, and
+    robust impact metrics."""
+    path, d = tiny_config
+    model_dir = str(tmp_path / "model")
+    main(["train", "-c", path, "-o", model_dir, "-f"])
+
+    out_dir = str(tmp_path / "report")
+    main(["eval", "-m", model_dir, "-d", os.path.join(d, "data"),
+          "-o", out_dir, "-M", "200", "--max-points", "24",
+          "--resim-samples", "16"])
+    with open(os.path.join(out_dir, "report.json")) as f:
+        report = json.load(f)
+
+    assert np.isfinite(report["test_nll"])
+    # a_x/a_y/a_z are constant under the default prior -> degenerate
+    assert set(report["degenerate_dims"]) == {"a_x", "a_y", "a_z"}
+    assert len(report["scaled_cdf_residual_by_dim"]) == 19
+    # headline excludes the degenerate dims
+    nondegen = [v for k, v in report["scaled_cdf_residual_by_dim"].items()
+                if k not in report["degenerate_dims"]]
+    # per-dim values are rounded to 4 decimals in the report
+    assert abs(report["max_scaled_cdf_residual"] - max(nondegen)) < 5e-4
+    assert report["max_scaled_cdf_residual_all_dims"] >= report["max_scaled_cdf_residual"]
+    for k in ("posterior_width_by_dim", "posterior_bias_by_dim", "data_spread_by_dim"):
+        assert len(report[k]) == 19
+    # robust impact metrics (median + clipped RMSE), never a bare inf-prone RMSE
+    assert "impact_median_dist" in report
+    assert "impact_rmse_within_42m" in report
+    assert "impact_rmse" not in report
+    for f_ in ("rank_histograms.png", "cdf_residuals.png", "resimulation.png"):
+        assert os.path.exists(os.path.join(out_dir, f_))
