@@ -27,15 +27,15 @@ from bcnf_tpu.ops.nn import Params, dropout
 def _fused_enabled() -> bool:
     """Gate for the fused Pallas recurrence (ops/lstm_kernel.py).
 
-    BCNF_FUSED_LSTM=1 forces it on, =0 (default) keeps the scan path,
-    =auto enables it on a TPU backend only.
+    Decided OFF by measurement (results/lstm_kernel_bench.json, 1x v5e,
+    flagship encoder T=30 H=140): the kernel wins only +13%/+5% (fwd/grad)
+    at B=256, loses at B=1024, and its backward exceeds the scoped-VMEM
+    limit at B>=1024. The scan path (hoisted input projection + one MXU
+    matmul per step) is the production path; the kernel stays in
+    ops/lstm_kernel.py as documented, tested research code reachable via
+    BCNF_FUSED_LSTM=1 for experiments only.
     """
-    flag = os.environ.get("BCNF_FUSED_LSTM", "0")
-    if flag == "1":
-        return True
-    if flag == "auto":
-        return jax.default_backend() == "tpu"
-    return False
+    return os.environ.get("BCNF_FUSED_LSTM", "0") == "1"
 
 
 def lstm_cell_init(key: jax.Array, input_size: int, hidden_size: int, dtype: Any = jnp.float32) -> Params:

@@ -50,7 +50,14 @@ def main() -> None:
         scan_f = jax.jit(lambda p, x: _direction_scan(p, x, H, False))
         fused_f = jax.jit(lambda p, x: fused_direction(p, x, H, False))
         dt_s = bench(scan_f, params, x)
-        dt_k = bench(fused_f, params, x)
+        try:
+            dt_k = bench(fused_f, params, x)
+        except Exception as e:  # noqa: BLE001
+            results[f"fwd_B{B}"] = {"scan_us": dt_s * 1e6,
+                                    "fused_error": f"{type(e).__name__}: {str(e)[:180]}"}
+            print(f"fwd  B={B}: scan {dt_s*1e6:8.1f}us  fused FAILED "
+                  f"({type(e).__name__})")
+            continue
         results[f"fwd_B{B}"] = {"scan_us": dt_s * 1e6, "fused_us": dt_k * 1e6,
                                 "speedup": dt_s / dt_k}
         print(f"fwd  B={B}: scan {dt_s*1e6:8.1f}us  fused {dt_k*1e6:8.1f}us  "
@@ -65,7 +72,14 @@ def main() -> None:
         gs = jax.jit(jax.grad(loss_scan))
         gk = jax.jit(jax.grad(loss_fused))
         dt_s = bench(gs, params, x)
-        dt_k = bench(gk, params, x)
+        try:
+            dt_k = bench(gk, params, x)
+        except Exception as e:  # noqa: BLE001 - record kernel OOM/compile failure
+            results[f"grad_B{B}"] = {"scan_us": dt_s * 1e6,
+                                     "fused_error": f"{type(e).__name__}: {str(e)[:180]}"}
+            print(f"grad B={B}: scan {dt_s*1e6:8.1f}us  fused FAILED "
+                  f"({type(e).__name__})")
+            continue
         results[f"grad_B{B}"] = {"scan_us": dt_s * 1e6, "fused_us": dt_k * 1e6,
                                  "speedup": dt_s / dt_k}
         print(f"grad B={B}: scan {dt_s*1e6:8.1f}us  fused {dt_k*1e6:8.1f}us  "
