@@ -90,7 +90,7 @@ def main() -> None:
         cfg, run_name=name,
         parameter_index_mapping=model.parameter_index_mapping,
         hybrid_weight=cfg["global"].get("hybrid_weight", 0) or 0,
-        verbose=False,
+        verbose=bool(os.environ.get("BCNF_PARITY_VERBOSE")),
     )
     params = trainer.train(model, params)
     hist = trainer.meta_scheduler.parameter_history
