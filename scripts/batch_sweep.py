@@ -46,7 +46,10 @@ def main() -> None:
         # route via the measured gate: fused => floor 1, xla => floor inf
         model.fused_train_min_batch = 1 if path == "fused" else 1 << 30
         for batch in BATCHES:
-            params = jax.tree.map(jnp.asarray, params0)
+            # deep copy: train_step donates its inputs, and jnp.asarray on a
+            # device array is a no-op, so reusing params0 directly would hand
+            # the same (deleted) buffers to the next sweep entry
+            params = jax.tree.map(jnp.copy, params0)
             opt_state = optimizer.init(params)
 
             @partial(jax.jit, donate_argnums=(0, 1))
