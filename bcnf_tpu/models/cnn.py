@@ -37,14 +37,43 @@ def _conv_init(key: jax.Array, c_in: int, c_out: int, k: int) -> Params:
     }
 
 
+def _conv_im2col(x: jnp.ndarray, w: jnp.ndarray, stride: int, padding: tuple[int, int]) -> jnp.ndarray:
+    """Low-channel conv as patches + one MXU matmul.
+
+    The TPU conv emitter takes *minutes* to compile the weight gradient of
+    low-channel convolutions — 482 s for this model's 1-channel 8x8 first
+    layer (NCHW and NHWC alike) vs 2 s for this mathematically identical
+    formulation (results/video_compile_probe3.json). checkpoint keeps the
+    (N, c_in*k*k, H', W') patches tensor transient: it is recomputed in the
+    backward instead of living between forward and backward.
+    """
+    c_out, c_in, k, _ = w.shape
+
+    @jax.checkpoint
+    def inner(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        patches = jax.lax.conv_general_dilated_patches(
+            x, (k, k), (stride, stride),
+            [(padding[0], padding[0]), (padding[1], padding[1])],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )  # (N, c_in*k*k, H', W')
+        return jnp.einsum("ncxy,oc->noxy", patches, w.reshape(c_out, c_in * k * k))
+
+    return inner(x, w)
+
+
 def _conv_apply(p: Params, x: jnp.ndarray, stride: int, padding: tuple[int, int]) -> jnp.ndarray:
-    out = jax.lax.conv_general_dilated(
-        x,
-        p["w"],
-        window_strides=(stride, stride),
-        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
+    w = p["w"]
+    c_out, c_in, k, _ = w.shape
+    if c_in * k * k <= 128:
+        out = _conv_im2col(x, w, stride, padding)
+    else:
+        out = jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(stride, stride),
+            padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
     return out + p["b"][None, :, None, None]
 
 

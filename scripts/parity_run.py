@@ -54,6 +54,11 @@ def main() -> None:
     # the run improving until plateau/timeout instead of dying on overflow.
     cfg["training"]["on_divergence"] = "rescue"
     cfg["training"]["keep_best"] = True
+    # optional epoch cap (small models reach far past the reference NLL in
+    # ~2k epochs; bounding epochs instead of wall time keeps runs short on
+    # tunnels whose dispatch degrades under sustained small-step load)
+    if os.environ.get("BCNF_PARITY_EPOCHS"):
+        cfg["training"]["n_epochs"] = int(os.environ["BCNF_PARITY_EPOCHS"])
 
     data_dir = os.path.expanduser("~/bcnf_data")
     train_path = os.path.join(data_dir, "train_5000.pkl")
