@@ -57,6 +57,11 @@ def main() -> None:
     cfg["training"]["on_divergence"] = "rescue"
     cfg["training"]["keep_best"] = True
     cfg["training"]["batch_size"] = 32  # see module docstring
+    # epoch cap (BCNF_PARITY_EPOCHS): on this tunnel, long small-step runs
+    # can wedge mid-dispatch; the model's best val lands by ~epoch 250 on
+    # the 512-video dataset anyway (overfitting past that)
+    if os.environ.get("BCNF_PARITY_EPOCHS"):
+        cfg["training"]["n_epochs"] = int(os.environ["BCNF_PARITY_EPOCHS"])
     cfg["data"] = dict(cfg["data"])
 
     data_dir = os.path.expanduser("~/bcnf_data")
@@ -93,6 +98,10 @@ def main() -> None:
         parameter_index_mapping=model.parameter_index_mapping,
         hybrid_weight=cfg["global"].get("hybrid_weight", 0) or 0,
         verbose=True,  # epoch lines make tunnel-compile stalls diagnosable
+        # epoch-boundary checkpoints: a wedged dispatch then costs at most
+        # 50 epochs, and a re-run resumes instead of restarting
+        checkpoint_dir=os.path.expanduser(f"~/bcnf_models/ckpt_{NAME}"),
+        checkpoint_every=50,
     )
     tr0 = time.time()
     params = trainer.train(model, params)

@@ -101,3 +101,38 @@ def test_cnn_feature_shapes_match_plan():
     x = jax.random.uniform(jax.random.key(1), (3, 2, 5, 18, 32))
     out = cnn.apply(params, x)
     assert out.shape == (3, 5, 16)
+
+
+def test_conv_im2col_matches_conv_general():
+    """The im2col formulation (compile-time fix for the TPU conv emitter,
+    docs/PERF.md) is mathematically identical to lax.conv_general_dilated
+    for every layer shape of the videos_CNN_LSTM_large plan."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bcnf_tpu.models.cnn import _conv_im2col
+
+    rng = np.random.default_rng(0)
+    for c_in, c_out, k, s, pad, h, w in [
+        (1, 8, 8, 1, (3, 3), 90, 160),
+        (8, 16, 5, 1, (3, 3), 44, 79),
+        (16, 32, 3, 2, (2, 2), 23, 40),
+    ]:
+        x = jnp.asarray(rng.normal(size=(4, c_in, h, w)), jnp.float32)
+        wt = jnp.asarray(rng.normal(size=(c_out, c_in, k, k)), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, wt, (s, s), [(pad[0], pad[0]), (pad[1], pad[1])],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        out = _conv_im2col(x, wt, s, pad)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+        # gradients agree too (the backward is where the emitter pathology was)
+        g_ref = jax.grad(lambda wt: jnp.sum(jax.lax.conv_general_dilated(
+            x, wt, (s, s), [(pad[0], pad[0]), (pad[1], pad[1])],
+            dimension_numbers=("NCHW", "OIHW", "NCHW")) ** 2))(wt)
+        g_out = jax.grad(lambda wt: jnp.sum(_conv_im2col(x, wt, s, pad) ** 2))(wt)
+        np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-2)
