@@ -490,8 +490,15 @@ def _cmd_eval(args: argparse.Namespace) -> None:
     }
 
     if not args.skip_resim:
-        data_dict = load_data(args.data, keep_output_type=cfg["data"]["output_type"])
+        # No keep_output_type here: resimulation compares against the TRUE
+        # trajectories, which video datasets carry *alongside* the rendered
+        # videos — keep_output_type="videos" would drop them.
+        data_dict = load_data(args.data)
         data_dict = {k: v[: args.max_points] for k, v in data_dict.items()}
+        if "trajectories" not in data_dict:
+            print("dataset has no 'trajectories' key; skipping resimulation")
+            args.skip_resim = True
+    if not args.skip_resim:
         X_resim = resimulate(
             model, params, cfg["data"]["T"], cfg["data"]["dt"], data_dict,
             None, *[jnp.asarray(c) for c in conditions],
