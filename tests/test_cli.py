@@ -168,3 +168,91 @@ def test_cli_eval_report(tiny_config, tmp_path):
     assert "impact_rmse" not in report
     for f_ in ("rank_histograms.png", "cdf_residuals.png", "resimulation.png"):
         assert os.path.exists(os.path.join(out_dir, f_))
+
+
+@pytest.fixture(scope="module")
+def tiny_video_config(tmp_path_factory):
+    """Toy-size mirror of `configs/runs/dev/videos_CNN_LSTM_large.yaml`:
+    two condition groups (videos + camera metadata), CNN->LSTM stack."""
+    d = tmp_path_factory.mktemp("cli_video")
+    cfg = {
+        "global": {
+            "cnf_version": 2,
+            "parameter_selection": ["x0_x", "x0_y", "x0_z", "v0_x", "v0_y", "v0_z",
+                                    "g", "w_x", "w_y", "w_z", "b", "m",
+                                    "a_x", "a_y", "a_z", "r", "A", "Cd", "rho"],
+            "conditions": [["videos"],
+                           ["cam_radian", "cam_radius", "cam_angles", "cam_heights"]],
+            "dtype": "float32",
+        },
+        "data": {
+            "path": str(d / "videos.pkl"),
+            "config_file": "{{BCNF_ROOT}}/configs/data_prior.yaml",
+            "n_samples": 32,
+            "output_type": "videos",
+            "dt": 0.1,
+            "T": 0.5,
+            "num_cams": 2,
+            "break_on_impact": False,
+            "do_filter": False,
+            "verbose": False,
+        },
+        "model": {"kwargs": {"size": 19, "nested_sizes": [16], "n_blocks": 2,
+                             "n_conditions": 15, "act_norm": True,
+                             "random_state": 0}},
+        "feature_networks": [
+            {"type": "ConcatenateCondition",
+             "kwargs": {"input_size": None, "output_size": [90, 160]}},
+            {"type": "CNN",
+             "kwargs": {"hidden_channels": [2, 4], "kernel_sizes": [5, 3],
+                        "strides": [2, 2], "dropout_prob": 0.0,
+                        "image_input_size": [90, 160],
+                        "output_size_lin": 16, "output_size": 16}},
+            {"type": "LSTM",
+             "kwargs": {"input_size": 16, "hidden_size": 8, "output_size": 8,
+                        "num_layers": 1, "pooling": "mean"}},
+            {"type": "ConcatenateCondition",
+             "kwargs": {"input_size": 8, "output_size": 15, "dim": -1}},
+        ],
+        "optimizer": {"type": "Adam", "kwargs": {"lr": 2.0e-3}},
+        "lr_scheduler": {"type": "ReduceLROnPlateau",
+                         "kwargs": {"mode": "min", "factor": 0.5, "patience": 50,
+                                    "threshold_mode": "abs", "threshold": 0.1}},
+        "training": {"validation_split": 0.25, "val_loss_window_size": 3,
+                     "val_loss_patience": 1000, "val_loss_tolerance": 0.01,
+                     "val_loss_tolerance_mode": "abs", "batch_size": 8,
+                     "n_epochs": 2, "timeout": None, "random_state": 0},
+    }
+    path = d / "tiny_video.yaml"
+    path.write_text(yaml.safe_dump(cfg, sort_keys=False))
+    return str(path), str(d)
+
+
+@pytest.mark.slow
+def test_cli_eval_video_model_resimulates(tiny_video_config, tmp_path):
+    """`bcnf-tpu eval` on a *video* model must still resimulate: video
+    datasets carry true trajectories alongside the rendered videos, and the
+    eval loader must not drop them (regression: keep_output_type='videos'
+    used to pop the 'trajectories' key the resim comparison needs)."""
+    path, d = tiny_video_config
+    main(["generate", "-c", os.path.join(REPO, "configs", "data_prior.yaml"),
+          "-o", os.path.join(d, "videos.pkl"), "-n", "32", "--no-filter",
+          "--renderer", "analytic", "--output-type", "videos",
+          "--dt", "0.1", "-T", "0.5", "--seed", "0"])
+    with open(os.path.join(d, "videos.pkl"), "rb") as f:
+        data = pickle.load(f)
+    assert "videos" in data and "trajectories" in data
+
+    model_dir = str(tmp_path / "vmodel")
+    main(["train", "-c", path, "-o", model_dir, "-f"])
+
+    out_dir = str(tmp_path / "vreport")
+    main(["eval", "-m", model_dir, "-d", os.path.join(d, "videos.pkl"),
+          "-o", out_dir, "-M", "100", "--max-points", "8",
+          "--resim-samples", "8"])
+    with open(os.path.join(out_dir, "report.json")) as f:
+        report = json.load(f)
+    assert np.isfinite(report["test_nll"])
+    # resimulation ran (the regression would KeyError before reaching here)
+    assert "impact_median_dist" in report
+    assert os.path.exists(os.path.join(out_dir, "resimulation.png"))
