@@ -451,13 +451,24 @@ def _cmd_eval(args: argparse.Namespace) -> None:
     # trajectory — the true posterior approaches a point mass, so the rank
     # statistic degenerates into a bias/width ratio and SBC loses meaning as
     # training sharpens the posterior past the reference's NLL level.
+    # Each stage below compiles its own sampling program; on memory-heavy
+    # condition types (videos) the previous stage's cached executable +
+    # workspace can push the chip over HBM, so drop compiled programs
+    # between stages (recompile cost is paid anyway: the shapes differ).
+    jax.clear_caches()
     post_mean = np.zeros_like(y_np)
     post_sq = np.zeros_like(y_np)
     n_diag = 512
+    chunk = 128  # draw in chunks: one small program, reused 4x
     for b in range(0, len(y_np), 100):
         cond_b = [jnp.asarray(c[b: b + 100]) for c in conditions]
-        draws = model.sample(params, jax.random.key(args.seed + 7), n_diag, *cond_b)
-        draws = np.asarray(draws)  # (n_diag, B, D)
+        parts = []
+        for ci_ in range(n_diag // chunk):
+            d = model.sample(
+                params, jax.random.key(args.seed + 7 + ci_), chunk, *cond_b
+            )
+            parts.append(np.asarray(d))
+        draws = np.concatenate(parts)  # (n_diag, B, D)
         post_mean[b: b + 100] = draws.mean(axis=0)
         post_sq[b: b + 100] = draws.std(axis=0)
     width = post_sq.mean(axis=0)
@@ -489,6 +500,7 @@ def _cmd_eval(args: argparse.Namespace) -> None:
         },
     }
 
+    jax.clear_caches()  # free the diagnostic-stage executables before resim
     if not args.skip_resim:
         # No keep_output_type here: resimulation compares against the TRUE
         # trajectories, which video datasets carry *alongside* the rendered
