@@ -61,10 +61,18 @@ def _conv_im2col(x: jnp.ndarray, w: jnp.ndarray, stride: int, padding: tuple[int
     return inner(x, w)
 
 
-def _conv_apply(p: Params, x: jnp.ndarray, stride: int, padding: tuple[int, int]) -> jnp.ndarray:
+def _conv_apply(p: Params, x: jnp.ndarray, stride: int, padding: tuple[int, int],
+                train: bool = True) -> jnp.ndarray:
     w = p["w"]
     c_out, c_in, k, _ = w.shape
-    if c_in * k * k <= 128:
+    # im2col exists for the *training* path only: the TPU conv emitter's
+    # weight-gradient compile is pathological for low-channel convs (482 s,
+    # see _conv_im2col docstring), but its patches tensor costs k*k times the
+    # input activation memory — at inference batch sizes (eval/sampling
+    # encodes thousands of frames per call) that is multiple GB of HBM for
+    # zero benefit, since no weight gradient is ever formed. Inference uses
+    # the plain fused XLA conv.
+    if train and c_in * k * k <= 128:
         out = _conv_im2col(x, w, stride, padding)
     else:
         out = jax.lax.conv_general_dilated(
@@ -145,7 +153,7 @@ class CNN(FeatureNetwork):
 
     def _tower(self, tower: list[Params], x: jnp.ndarray, rng: jax.Array | None, train: bool) -> jnp.ndarray:
         for i, (p, (_, _, _, stride, pad)) in enumerate(zip(tower, self.plan)):
-            x = _conv_apply(p, x, stride, pad)
+            x = _conv_apply(p, x, stride, pad, train=train)
             x = jax.nn.relu(x)
             if self.dropout_prob > 0:
                 sub = jax.random.fold_in(rng, i) if rng is not None else None

@@ -136,3 +136,15 @@ def test_conv_im2col_matches_conv_general():
         g_out = jax.grad(lambda wt: jnp.sum(_conv_im2col(x, wt, s, pad) ** 2))(wt)
         np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
                                    rtol=1e-4, atol=1e-2)
+
+
+def test_conv_train_and_inference_paths_agree():
+    """`_conv_apply(train=False)` (plain XLA conv, memory-light) must equal
+    the training path's im2col formulation (compile-time fix) exactly."""
+    from bcnf_tpu.models.cnn import _conv_apply, _conv_init
+
+    p = _conv_init(jax.random.key(0), 1, 4, 5)
+    x = jax.random.normal(jax.random.key(1), (3, 1, 20, 24))
+    a = _conv_apply(p, x, 1, (2, 2), train=True)
+    b = _conv_apply(p, x, 1, (2, 2), train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
