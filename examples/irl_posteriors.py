@@ -79,7 +79,9 @@ def main() -> None:
     meta: list[np.ndarray] = []
     group2 = list(cfg["global"]["conditions"])[1] if len(cfg["global"]["conditions"]) > 1 else []
     defaults = {
-        "cam_radian": np.zeros((1, max(n_cams - 1, 1))),
+        # one azimuth per camera (generator emits `cam_radian_array` of
+        # shape (N, n_cams), see simulation/sampling.py)
+        "cam_radian": np.zeros((1, n_cams)),
         "cam_radius": np.full((1, 1), 25.0),
         "cam_angles": np.zeros((1, n_cams)),
         "cam_heights": np.full((1, n_cams), 1.0),
