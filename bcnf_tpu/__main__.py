@@ -75,6 +75,9 @@ def main(argv: list[str] | None = None) -> None:
     gen_parser.add_argument("--no-filter", action="store_true")
     gen_parser.add_argument("--break-on-impact", action="store_true")
     gen_parser.add_argument("--renderer", type=str, default="mc", choices=["mc", "analytic"])
+    gen_parser.add_argument("--observation-noise", type=float, default=0.0,
+                            help="Airborne Gaussian observation noise std applied to the "
+                                 "emitted trajectories (reference observation.py:4)")
     gen_parser.add_argument("--seed", type=int, default=None)
 
     eval_parser = subparsers.add_parser("eval")
@@ -321,6 +324,7 @@ def _cmd_generate(args: argparse.Namespace) -> None:
         do_filter=not args.no_filter,
         break_on_impact=args.break_on_impact,
         renderer=args.renderer,
+        observation_noise=args.observation_noise,
         seed=args.seed,
         verbose=True,
     )
@@ -460,6 +464,7 @@ def _cmd_eval(args: argparse.Namespace) -> None:
     post_sq = np.zeros_like(y_np)
     n_diag = 512
     chunk = 128  # draw in chunks: one small program, reused 4x
+    assert n_diag % chunk == 0, "diagnostic draws must be a chunk multiple"
     for b in range(0, len(y_np), 100):
         cond_b = [jnp.asarray(c[b: b + 100]) for c in conditions]
         parts = []
@@ -502,10 +507,10 @@ def _cmd_eval(args: argparse.Namespace) -> None:
 
     jax.clear_caches()  # free the diagnostic-stage executables before resim
     if not args.skip_resim:
-        # No keep_output_type here: resimulation compares against the TRUE
-        # trajectories, which video datasets carry *alongside* the rendered
-        # videos — keep_output_type="videos" would drop them.
-        data_dict = load_data(args.data)
+        # Resimulation only needs the TRUE trajectories plus the simulation
+        # parameter keys; keep_output_type="trajectories" drops the rendered
+        # videos at load time, sparing host RAM on video datasets.
+        data_dict = load_data(args.data, keep_output_type="trajectories")
         data_dict = {k: v[: args.max_points] for k, v in data_dict.items()}
         if "trajectories" not in data_dict:
             print("dataset has no 'trajectories' key; skipping resimulation")

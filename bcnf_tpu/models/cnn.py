@@ -62,7 +62,7 @@ def _conv_im2col(x: jnp.ndarray, w: jnp.ndarray, stride: int, padding: tuple[int
 
 
 def _conv_apply(p: Params, x: jnp.ndarray, stride: int, padding: tuple[int, int],
-                train: bool = True) -> jnp.ndarray:
+                *, train: bool) -> jnp.ndarray:
     w = p["w"]
     c_out, c_in, k, _ = w.shape
     # im2col exists for the *training* path only: the TPU conv emitter's

@@ -207,12 +207,21 @@ def generate_data(
     renderer: str = "mc",
     legacy_cam_geometry: bool = False,
     batch_size: int | None = None,
+    observation_noise: float = 0.0,
     **_: Any,
 ) -> dict[str, list]:
     """Generate an accepted dataset of exactly `n` rows (reference `sampling.py:287-410`).
 
     Returns the reference's dict-of-lists schema (keys from
     `sample_ballistic_parameters` plus `trajectories` / `videos`).
+
+    `observation_noise > 0` applies the reference's airborne Gaussian
+    observation model (`src/bcnf/simulation/observation.py:4-10`) to the
+    emitted `trajectories`: the observed condition is the noisy sensor
+    reading while the physics (filters, renders, point-of-impact) runs on
+    the clean trajectory. A noisy condition makes the posterior genuinely
+    non-degenerate on the x0/v0 dims (docs/CALIBRATION.md), which is what
+    the full SBC protocol assumes.
     """
     if output_type not in ("videos", "trajectories", "parameters"):
         raise ValueError('output_type must be one of "videos", "trajectories", or "parameters"')
@@ -234,7 +243,7 @@ def generate_data(
     rejected = 0
 
     while accepted < n:
-        key, k_par, k_vis_accept, k_render = jax.random.split(key, 4)
+        key, k_par, k_vis_accept, k_render, k_noise = jax.random.split(key, 5)
         p, accept = _stage_params(
             k_par, batch_size, prior, num_cams, float(dt), bool(do_filter)
         )
@@ -257,7 +266,14 @@ def generate_data(
             if render:
                 out["videos"] = videos
 
-        out["trajectories"] = trajectory
+        if observation_noise > 0:
+            from bcnf_tpu.simulation.observation import gaussian_observation_noise
+
+            out["trajectories"] = gaussian_observation_noise(
+                k_noise, trajectory, std=float(observation_noise)
+            )
+        else:
+            out["trajectories"] = trajectory
         out["accept"] = accept
         out = jax.device_get(out)
         mask = np.array(out.pop("accept"))  # writable copy

@@ -59,6 +59,7 @@ class TrainerDataHandler:
                 break_on_impact=data_cfg.get("break_on_impact", True),
                 do_filter=data_cfg.get("do_filter", True),
                 verbose=data_cfg.get("verbose", verbose),
+                observation_noise=float(data_cfg.get("observation_noise", 0.0)),
                 seed=seed,
             )
             target = path if not os.path.splitext(path)[1] == "" else os.path.join(

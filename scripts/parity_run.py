@@ -61,8 +61,10 @@ def main() -> None:
         cfg["training"]["n_epochs"] = int(os.environ["BCNF_PARITY_EPOCHS"])
 
     data_dir = os.path.expanduser("~/bcnf_data")
-    train_path = os.path.join(data_dir, "train_5000.pkl")
-    test_path = os.path.join(data_dir, "test_1000.pkl")
+    obs_noise = float(cfg["data"].get("observation_noise", 0.0))
+    tag = f"_noise{obs_noise}" if obs_noise else ""
+    train_path = os.path.join(data_dir, f"train_5000{tag}.pkl")
+    test_path = os.path.join(data_dir, f"test_1000{tag}.pkl")
     gen_kwargs = dict(
         config_file=cfg["data"]["config_file"],
         output_type="trajectories",
@@ -70,6 +72,7 @@ def main() -> None:
         T=cfg["data"]["T"],
         break_on_impact=bool(cfg["data"]["break_on_impact"]),
         do_filter=bool(cfg["data"]["do_filter"]),
+        observation_noise=obs_noise,
         verbose=False,
     )
     if not os.path.exists(train_path):

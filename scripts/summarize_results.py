@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 
 RESULTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "results")
 
@@ -17,6 +18,26 @@ def _fmt(v: object) -> str:
     if isinstance(v, float):
         return f"{v:,.4g}"
     return str(v)
+
+
+def _count_errors(obj: object) -> int:
+    """Count error entries anywhere in a result artifact: a measurement dict
+    whose value is an {'error': ...} record, an explicit None, or a string
+    that looks like a traceback. A committed artifact with errors must never
+    be indexed as 'N measurements' (round-3 batch_sweep.json lesson)."""
+    n = 0
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            if k == "error" and v:
+                n += 1
+            else:
+                n += _count_errors(v)
+    elif isinstance(obj, list):
+        for v in obj:
+            n += _count_errors(v)
+    elif obj is None:
+        n += 1
+    return n
 
 
 def main() -> None:
@@ -74,6 +95,7 @@ def main() -> None:
     if benches:
         lines += ["## Benchmarks & measurements", "",
                   "| artifact | summary |", "|---|---|"]
+        broken = []
         for name, d in benches:
             keys = [k for k in ("train_samples_per_sec", "results", "samples_per_s",
                                 "rows_per_s", "what") if k in d]
@@ -81,11 +103,25 @@ def main() -> None:
                 summary = f"{_fmt(d['train_samples_per_sec'])} train samples/s"
             elif keys and isinstance(d.get(keys[0]), dict):
                 inner = d[keys[0]]
-                summary = f"{len(inner)} measurements ({', '.join(list(inner)[:4])}, ...)"
+                n_err = _count_errors(inner)
+                n_ok = len(inner) - n_err
+                summary = f"{n_ok} measurements ({', '.join(list(inner)[:4])}, ...)"
+                if n_err:
+                    summary += f" — **{n_err} ERROR entries**"
+                    broken.append(name)
             else:
                 summary = d.get("what", f"{len(d)} fields")[:90]
+                n_err = _count_errors(d)
+                if n_err:
+                    summary += f" — **{n_err} ERROR entries**"
+                    broken.append(name)
             lines.append(f"| `{name}` | {summary} |")
         lines.append("")
+        if broken:
+            lines += [f"**BROKEN ARTIFACTS (re-measure before citing):** "
+                      f"{', '.join(f'`{b}`' for b in broken)}", ""]
+            print(f"ERROR: {len(broken)} artifact(s) contain error entries: "
+                  f"{', '.join(broken)}", file=sys.stderr)
 
     out = os.path.join(RESULTS, "README.md")
     with open(out, "w") as f:

@@ -148,6 +148,27 @@ def test_generate_data_trajectories(do_filter):
         assert all(z >= 0 for z in data["x0_z"])
 
 
+def test_generate_data_observation_noise():
+    """observation_noise perturbs trajectories airborne-only with the given
+    std (reference `src/bcnf/simulation/observation.py:4-10`) and leaves the
+    rest of the dataset (parameters) untouched."""
+    kwargs = dict(
+        prior_config=PRIOR, n=8, output_type="trajectories",
+        dt=1 / 15, T=1.0, do_filter=False, seed=3, batch_size=16,
+    )
+    clean = sampling.generate_data(**kwargs)
+    noisy = sampling.generate_data(observation_noise=0.1, **kwargs)
+    tc = np.asarray(clean["trajectories"])
+    tn = np.asarray(noisy["trajectories"])
+    diff = tn - tc
+    airborne = tc[..., 2] > 0
+    assert np.abs(diff[airborne]).max() > 0.01
+    assert diff[airborne].std() == pytest.approx(0.1, rel=0.3)
+    if (~airborne).any():
+        assert np.abs(diff[~airborne]).max() == 0.0
+    np.testing.assert_allclose(clean["x0_z"], noisy["x0_z"])
+
+
 def test_generate_data_videos():
     data = sampling.generate_data(
         prior_config=PRIOR,
