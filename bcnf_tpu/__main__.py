@@ -92,6 +92,9 @@ def main(argv: list[str] | None = None) -> None:
     eval_parser.add_argument("--max-points", type=int, default=200, help="Test points to evaluate")
     eval_parser.add_argument("--skip-resim", action="store_true")
     eval_parser.add_argument("--seed", type=int, default=0)
+    eval_parser.add_argument("--dp-devices", type=int, default=0,
+                             help="Shard posterior sampling + resimulation rows over an "
+                                  "N-device data mesh (0 = single-device)")
     eval_parser.add_argument("--precision", type=str, default=None,
                              help="Matmul precision override for sampling, e.g. BF16_BF16_F32_X3 "
                                   "(1.75x sampling throughput at ~2e-3 round-trip error; "
@@ -104,6 +107,9 @@ def main(argv: list[str] | None = None) -> None:
     sample_parser.add_argument("-n", "--n-samples", type=int, default=1000)
     sample_parser.add_argument("-o", "--output", type=str, required=True, help="Output .npy path")
     sample_parser.add_argument("--seed", type=int, default=0)
+    sample_parser.add_argument("--dp-devices", type=int, default=0,
+                               help="Shard condition rows over an N-device data mesh "
+                                    "(0 = single-device)")
     sample_parser.add_argument("--precision", type=str, default=None,
                                help="Matmul precision override, e.g. BF16_BF16_F32_X3")
 
@@ -332,6 +338,21 @@ def _cmd_generate(args: argparse.Namespace) -> None:
     print(f"Wrote {args.n_samples} samples to {args.output}")
 
 
+def _make_eval_mesh(args: argparse.Namespace):
+    """Optional data mesh for eval/sample row sharding (SURVEY.md section
+    5.8: posterior sampling and resimulation shard over the data axis like
+    training does)."""
+    n = getattr(args, "dp_devices", 0) or 0
+    if n <= 1:
+        return None
+    from bcnf_tpu.parallel import ensure_cpu_devices, make_mesh
+
+    ensure_cpu_devices(n)
+    mesh = make_mesh(n)
+    print(f"Sharding rows over a {n}-device data mesh")
+    return mesh
+
+
 def _cmd_sample(args: argparse.Namespace) -> None:
     import pickle
 
@@ -344,6 +365,7 @@ def _cmd_sample(args: argparse.Namespace) -> None:
     from bcnf_tpu.train.data import TrainerDataHandler
     from bcnf_tpu.utils.misc import get_data_type
 
+    mesh = _make_eval_mesh(args)
     with open(os.path.join(args.model_dir, "config.json")) as f:
         config_path = json.load(f)["config_path"]
     config = load_config(config_path)
@@ -359,10 +381,16 @@ def _cmd_sample(args: argparse.Namespace) -> None:
     y, conditions = handler.get_data_for_training(
         cfg, model.parameter_index_mapping, get_data_type(config["global"]["dtype"])
     )
-    samples = model.sample(
-        params, jax.random.key(args.seed), args.n_samples,
-        *[jnp.asarray(c) for c in conditions],
+    conditions = [jnp.asarray(c) for c in conditions]
+    if mesh is not None:
+        from bcnf_tpu.parallel.mesh import replicate, shard_batch
+
+        params = replicate(mesh, params)
+        conditions = shard_batch(mesh, conditions)
+    sample_fn = jax.jit(
+        lambda p, k, *cond: model.sample(p, k, args.n_samples, *cond)
     )
+    samples = sample_fn(params, jax.random.key(args.seed), *conditions)
     np.save(args.output, np.asarray(samples))
     print(f"Wrote posterior samples {samples.shape} to {args.output}")
 
@@ -387,6 +415,7 @@ def _cmd_eval(args: argparse.Namespace) -> None:
     from bcnf_tpu.utils.misc import get_data_type, inn_nll_loss
 
     os.makedirs(args.output_dir, exist_ok=True)
+    mesh = _make_eval_mesh(args)
     with open(os.path.join(args.model_dir, "config.json")) as f:
         config_path = json.load(f)["config_path"]
     config = load_config(config_path)
@@ -426,6 +455,7 @@ def _cmd_eval(args: argparse.Namespace) -> None:
         model, params, jnp.asarray(y),
         *[jnp.asarray(c) for c in conditions],
         M_samples=args.m_samples, key=jax.random.key(args.seed),
+        mesh=mesh,
     )
     t, resid, ci = compute_CDF_residuals(ranks, args.m_samples)
     names = list(model.parameter_index_mapping.parameters)
@@ -520,6 +550,7 @@ def _cmd_eval(args: argparse.Namespace) -> None:
             model, params, cfg["data"]["T"], cfg["data"]["dt"], data_dict,
             None, *[jnp.asarray(c) for c in conditions],
             m_samples=args.resim_samples, key=jax.random.key(args.seed + 1),
+            mesh=mesh,
         )
         X_true = np.asarray(data_dict["trajectories"])
         finite = np.isfinite(X_resim).all(axis=(2, 3))

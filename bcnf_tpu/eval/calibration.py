@@ -37,28 +37,50 @@ def compute_y_hat_ranks(
     key: jax.Array | None = None,
     sample_batch_size: int = 1000,
     batch_size: int = 100,
+    mesh: Any = None,
 ) -> np.ndarray:
     """Rank of each true theta among M posterior samples, shape `(N, D)`
     (reference `calibration.py:20-48`).
 
     Batched over both condition rows and sample draws to bound memory; the
     condition encoding happens once per condition batch.
+
+    With `mesh` (a 1-D data mesh, SURVEY.md section 5.8) the condition rows
+    of each batch are sharded over the mesh's devices and params replicated;
+    the jitted rank computation then partitions over rows under GSPMD — the
+    math (and the PRNG draws, hence the ranks) is identical to the
+    single-device run, just split across chips, so no separate all-gather
+    or key-folding is needed.
     """
     if key is None:
         key = jax.random.key(0)
     N = y.shape[0]
     ranks = np.zeros(y.shape, dtype=np.int64)
+    if mesh is not None:
+        from bcnf_tpu.parallel.mesh import replicate
+
+        params = replicate(mesh, params)
+
+    rank_inc = jax.jit(
+        lambda p, sub, y_b, m, *cond_b: jnp.sum(
+            model.sample(p, sub, m, *cond_b) < y_b[None], axis=0
+        ),
+        static_argnums=(3,),
+    )
 
     for b in range(0, N, batch_size):
         cond_b = [c[b: b + batch_size] for c in conditions]
         y_b = y[b: b + batch_size]
+        if mesh is not None:
+            from bcnf_tpu.parallel.mesh import shard_batch
+
+            y_b, cond_b = shard_batch(mesh, (y_b, cond_b))
         drawn = 0
         while drawn < M_samples:
             m = min(sample_batch_size, M_samples - drawn)
             key, sub = jax.random.split(key)
-            y_hat = model.sample(params, sub, m, *cond_b)  # (m, B, D)
             ranks[b: b + batch_size] += np.asarray(
-                jnp.sum(y_hat < y_b[None], axis=0), dtype=np.int64
+                rank_inc(params, sub, y_b, m, *cond_b), dtype=np.int64
             )
             drawn += m
     return ranks

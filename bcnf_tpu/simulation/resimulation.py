@@ -64,19 +64,33 @@ def resimulate(
     key: jax.Array | None = None,
     sample_batch_size: int = 250,
     verbose: bool = False,
+    mesh: Any = None,
 ) -> np.ndarray:
     """Sample posteriors and re-run the simulator; returns `(N, M, T, 3)`
-    (reference `resimulate`, `src/bcnf/simulation/resimulation.py:21-59`)."""
+    (reference `resimulate`, `src/bcnf/simulation/resimulation.py:21-59`).
+
+    With `mesh` the condition rows (and the resimulation grid's N axis) are
+    sharded over the data axis; params replicated (SURVEY.md section 5.8).
+    """
     mapping: ParameterIndexMapping = model.parameter_index_mapping
     if y_hat is None:
         if key is None:
             key = jax.random.key(0)
+        if mesh is not None:
+            from bcnf_tpu.parallel.mesh import replicate, shard_batch
+
+            params = replicate(mesh, params)
+            conditions = tuple(shard_batch(mesh, list(conditions)))
+        sample_fn = jax.jit(
+            lambda p, sub, m, *cond: model.sample(p, sub, m, *cond),
+            static_argnums=(2,),
+        )
         chunks = []
         drawn = 0
         while drawn < m_samples:
             m = min(sample_batch_size, m_samples - drawn)
             key, sub = jax.random.split(key)
-            chunks.append(np.asarray(model.sample(params, sub, m, *conditions)))
+            chunks.append(np.asarray(sample_fn(params, sub, m, *conditions)))
             drawn += m
         y_hat = np.concatenate(chunks, axis=0)  # (M, N, D)
 
@@ -87,6 +101,14 @@ def resimulate(
         if k in _SIM_KEYS and k not in mapping.parameters
     }
     p = _assemble(y_hat, mapping, fixed)
+    if mesh is not None:
+        # shard the (M, N) resimulation grid over its N axis; the vmapped
+        # RK4 then runs fully local per chip (no collectives until the host
+        # gather at the end)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(mesh, PartitionSpec(None, "data"))
+        p = {k: jax.device_put(v, sh) for k, v in p.items()}
 
     if verbose:
         print(f"Resimulating {N} trajectories {M} times on device")

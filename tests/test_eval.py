@@ -134,12 +134,11 @@ def test_compute_y_hat_ranks_exact_posterior_is_uniform():
     post_std = np.sqrt(s**2 / (1 + s**2))
 
     class _TruePosterior:
+        # jnp math only: compute_y_hat_ranks jits the sample call (so the
+        # mesh-sharded path partitions it), which traces this stub too
         def sample(self, params, key, m, cond):
             noise = jax.random.normal(key, (m, cond.shape[0], D))
-            return jnp.asarray(post_mean_of(cond))[None] + post_std * noise
-
-    def post_mean_of(cond):
-        return np.asarray(cond) / (1 + s**2)
+            return (cond / (1 + s**2))[None] + post_std * noise
 
     ranks = compute_y_hat_ranks(
         _TruePosterior(), None, jnp.asarray(theta), jnp.asarray(x),

@@ -118,3 +118,49 @@ def test_batch_sharding_layout():
     s = batch_sharding(mesh, 3)
     x = jax.device_put(jnp.zeros((16, 5, 2)), s)
     assert x.sharding.is_equivalent_to(s, 3)
+
+
+def test_sharded_ranks_match_single_device(model_and_params):
+    """Mesh-sharded calibration (eval --dp-devices): GSPMD partitions the
+    rank computation over condition rows, so the ranks must be IDENTICAL to
+    the single-device run (same ops, same PRNG draws — SURVEY.md section
+    5.8's 'all-gather only at the metrics step')."""
+    from bcnf_tpu.eval.calibration import compute_y_hat_ranks
+
+    model, params = model_and_params
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(32, 4)), jnp.float32)
+    kwargs = dict(M_samples=64, key=jax.random.key(3),
+                  sample_batch_size=32, batch_size=16)
+    ranks_1 = compute_y_hat_ranks(model, params, y, cond, **kwargs)
+    ranks_8 = compute_y_hat_ranks(model, params, y, cond, mesh=make_mesh(), **kwargs)
+    np.testing.assert_array_equal(ranks_1, ranks_8)
+
+
+def test_sharded_resimulate_matches_single_device(model_and_params):
+    """Mesh-sharded resimulation returns the same trajectories as the
+    single-device run (rows split over the data axis, no math change)."""
+    from bcnf_tpu.config import ParameterIndexMapping
+    from bcnf_tpu.simulation.resimulation import resimulate
+
+    model, _ = model_and_params
+
+    class TinyPosterior:
+        """A stand-in model whose sample() is deterministic in the key, so
+        the mesh/single-device comparison isolates the resimulation path."""
+
+        parameter_index_mapping = ParameterIndexMapping(["x0_z", "v0_z", "m"])
+
+        def sample(self, params, key, m, *conditions):
+            n = conditions[0].shape[0]
+            base = jax.random.uniform(key, (m, n, 3), minval=0.5, maxval=1.5)
+            return base + jnp.asarray([5.0, 0.0, 0.0])
+
+    tiny = TinyPosterior()
+    cond = jnp.asarray(np.random.default_rng(1).normal(size=(16, 4)), jnp.float32)
+    data = {"b": np.full(16, 0.1), "rho": np.full(16, 1.2), "r": np.full(16, 0.1)}
+    kwargs = dict(m_samples=8, key=jax.random.key(5), sample_batch_size=8)
+    X1 = resimulate(tiny, None, 1.0, 1 / 15, data, None, cond, **kwargs)
+    X8 = resimulate(tiny, None, 1.0, 1 / 15, data, None, cond, mesh=make_mesh(), **kwargs)
+    np.testing.assert_allclose(X1, X8, rtol=0, atol=1e-6)
