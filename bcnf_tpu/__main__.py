@@ -219,6 +219,8 @@ def _cmd_train(args: argparse.Namespace) -> None:
             T=float(data_cfg["T"]),
             num_cams=int(data_cfg.get("num_cams", 2)),
             break_on_impact=bool(data_cfg.get("break_on_impact", False)),
+            renderer=str(data_cfg.get("renderer", "analytic")),
+            observation_noise=float(data_cfg.get("observation_noise", 0.0)),
         )
         n_steps = args.online_steps or int(cfg["training"].get("online_steps", 5000))
         opt_kwargs = dict(cfg["optimizer"].get("kwargs", {}))

@@ -49,6 +49,12 @@ class OnlineSimulator:
         filter_runaway: bool = True,
         oversample: float = 1.25,
         n_substeps: int = 4,
+        ratio: tuple[int, int] = (16, 9),
+        fov_horizontal: float = 70.0,
+        cam1_radian: float = 0.0,
+        renderer: str = "analytic",
+        legacy_cam_geometry: bool = False,
+        observation_noise: float = 0.0,
     ) -> None:
         self.prior = HashableConfig(
             prior_config.to_dict() if hasattr(prior_config, "to_dict") else prior_config
@@ -63,6 +69,16 @@ class OnlineSimulator:
         self.oversample = oversample
         self.n_substeps = n_substeps
         self.n_steps = n_steps_for(T, dt)
+        # video conditions: render accepted rows on device inside the same
+        # jit program (the reference cannot do this at all — its renderer is
+        # per-frame host NumPy, `src/bcnf/simulation/camera.py:74-150`)
+        self.render = any("videos" in g for g in self.condition_groups)
+        self.ratio = tuple(ratio)
+        self.fov_horizontal = float(fov_horizontal)
+        self.cam1_radian = float(cam1_radian)
+        self.renderer = renderer
+        self.legacy_cam_geometry = bool(legacy_cam_geometry)
+        self.observation_noise = float(observation_noise)
 
     def _vectorize(self, p: dict[str, jnp.ndarray]) -> jnp.ndarray:
         cols = []
@@ -79,6 +95,7 @@ class OnlineSimulator:
     def sample_batch(self, key: jax.Array, batch: int) -> tuple[jnp.ndarray, tuple]:
         """Draw an accepted batch: returns `(y (B, D), conditions)`."""
         n_raw = math.ceil(batch * self.oversample)
+        key, k_render, k_noise = jax.random.split(key, 3)
         p = sample_ballistic_parameters(key, n_raw, self.prior.data, self.num_cams)
 
         x0 = jnp.stack([p["x0_x"], p["x0_y"], p["x0_z"]], axis=-1)
@@ -104,13 +121,39 @@ class OnlineSimulator:
         traj = traj[idx]
         y = self._vectorize(p)
 
-        conditions = []
         data = dict(p)
-        data["trajectories"] = traj
+        if self.observation_noise > 0:
+            from bcnf_tpu.simulation.observation import gaussian_observation_noise
+
+            data["trajectories"] = gaussian_observation_noise(
+                k_noise, traj, std=self.observation_noise
+            )
+        else:
+            data["trajectories"] = traj
+        if self.render:
+            # render only the compacted `batch` rows (the expensive stage),
+            # reusing the dataset generator's vmapped render program
+            from bcnf_tpu.simulation.sampling import _stage_render
+
+            cam_radians = jnp.concatenate(
+                [jnp.full((batch, 1), self.cam1_radian), p["cam_radian_array"]],
+                axis=-1,
+            )
+            data["cam_radian_array"] = cam_radians
+            videos, _ = _stage_render(
+                k_render, p, traj, cam_radians, self.num_cams, self.ratio,
+                self.fov_horizontal, self.renderer, self.legacy_cam_geometry,
+            )
+            data["videos"] = videos
+
+        conditions = []
+        # run configs say `cam_radian`; the prior sampler emits
+        # `cam_radian_array` (same alias table as train/data.py)
+        key_aliases = {"cam_radian": "cam_radian_array"}
         for group in self.condition_groups:
             vals = []
             for c in group:
-                v = data[c]
+                v = data[key_aliases.get(c, c) if c not in data else c]
                 if v.ndim == 1:
                     v = v[:, None]
                 vals.append(v)
@@ -120,7 +163,10 @@ class OnlineSimulator:
     def __hash__(self) -> int:
         return hash((self.prior, tuple(self.mapping.parameters), self.condition_groups,
                      self.dt, self.T, self.num_cams, self.break_on_impact,
-                     self.filter_runaway, self.oversample, self.n_substeps))
+                     self.filter_runaway, self.oversample, self.n_substeps,
+                     self.render, self.ratio, self.fov_horizontal,
+                     self.cam1_radian, self.renderer, self.legacy_cam_geometry,
+                     self.observation_noise))
 
     def __eq__(self, other: object) -> bool:
         return isinstance(other, OnlineSimulator) and hash(self) == hash(other)

@@ -146,8 +146,12 @@ def main() -> None:
         errs[f"pallas_{label}"] = float(jnp.max(jnp.abs(y_k - y_ref)))
         print(f"max |dy| fused({label}) vs xla(highest): {errs[f'pallas_{label}']:.2e}")
         if label != "highest":
-            with jax.default_matmul_precision(ctx):
-                y_x = jax.vmap(lambda zz: model.inverse_given_h(params, zz, h))(z3[:4])
+            # inverse_given_h pins matmul precision to model.precision
+            # internally, so an outer context alone is silently overridden —
+            # set the model attribute (the r03 'max_abs_err: 0.0' lesson)
+            model.precision = ctx
+            y_x = jax.vmap(lambda zz: model.inverse_given_h(params, zz, h))(z3[:4])
+            model.precision = "highest"
             errs[f"xla_{label}"] = float(jnp.max(jnp.abs(y_x - y_ref)))
             print(f"max |dy| xla({label}) vs xla(highest): {errs[f'xla_{label}']:.2e}")
 

@@ -157,3 +157,42 @@ def test_train_online_checkpoint_resume_onto_mesh(tmp_path):
     assert steps[-1] == 30  # continued to the new budget
     assert 20 in steps  # restored history is carried through the resume
     assert np.all([np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(params)])
+
+
+def test_sample_batch_renders_videos_on_device():
+    """Video condition groups render inside the same jit program (the
+    reference renders per-frame on the host, `camera.py:74-150`); the
+    camera-metadata group matches the dataset pipeline's key aliasing and
+    cam1-radian prepend (sampling.py generate_data)."""
+    sim = OnlineSimulator(
+        PRIOR,
+        ParameterIndexMapping(PARAMS),
+        condition_groups=[["videos"], ["cam_radian", "cam_radius", "cam_angles", "cam_heights"]],
+        dt=0.1,
+        T=0.5,
+        ratio=(16, 9),
+    )
+    y, conds = sim.sample_batch(jax.random.key(0), 4)
+    assert y.shape == (4, 19)
+    videos, meta = conds
+    assert videos.shape == (4, 2, 5, 90, 160)
+    assert np.isfinite(np.asarray(videos)).all()
+    assert np.asarray(videos).max() > 0  # something got rendered
+    # cam_radian (2: cam1 prepended) + cam_radius (1) + cam_angles (2) + cam_heights (2)
+    assert meta.shape == (4, 7)
+
+
+def test_sample_batch_observation_noise():
+    sim_c = _simulator()
+    sim_n = OnlineSimulator(
+        PRIOR, ParameterIndexMapping(PARAMS),
+        condition_groups=[["trajectories"]], dt=0.1, T=0.5,
+        observation_noise=0.1,
+    )
+    _, (tc,) = sim_c.sample_batch(jax.random.key(7), 16)
+    _, (tn,) = sim_n.sample_batch(jax.random.key(7), 16)
+    diff = np.asarray(tn) - np.asarray(tc)
+    airborne = np.asarray(tc)[..., 2] > 0
+    assert np.abs(diff[airborne]).max() > 0.01
+    if (~airborne).any():
+        assert np.abs(diff[~airborne]).max() == 0.0
