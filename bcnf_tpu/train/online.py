@@ -31,6 +31,7 @@ from bcnf_tpu.config import PARAMETER_ALIASES, ParameterIndexMapping
 from bcnf_tpu.simulation.physics import n_steps_for, simulate_trajectory
 from bcnf_tpu.simulation.priors import HashableConfig, sample_ballistic_parameters
 from bcnf_tpu.train.history import MetricSink
+from bcnf_tpu.utils.jit import tpu_safe_jit
 from bcnf_tpu.utils.misc import inn_nll_loss
 
 
@@ -269,14 +270,17 @@ def train_online(
         grad_fn = partial(_grads, batch=batch_size)
         opt_state = optimizer.init(params)
 
-    @partial(jax.jit, donate_argnums=(1, 2))
+    # tpu_safe_jit: the fused data+train program inlines the prior sampler,
+    # whose rejection scan can trip libtpu's memory-bound loop optimizer
+    # (see utils/jit.py) — same mitigation as the dataset generator's stages
+    @tpu_safe_jit(donate_argnums=(1, 2))
     def step_fn(key: jax.Array, params: Any, opt_state: Any) -> tuple:
         grads, metrics = grad_fn(key, params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
-    @jax.jit
+    @tpu_safe_jit
     def eval_fn(key: jax.Array, params: Any) -> jnp.ndarray:
         y, conditions = simulator.sample_batch(key, batch_size)
         z, log_det = model.forward(params, y, *conditions) if n_cond > 0 else model.forward(params, y)

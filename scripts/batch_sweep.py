@@ -69,6 +69,7 @@ def main() -> None:
                 t0 = time.time()
                 params, opt_state, loss = train_step(params, opt_state, y, traj)
                 jax.block_until_ready(loss)
+                _ = float(np.asarray(loss))  # force host readback (axon quirk)
                 compile_s = time.time() - t0
                 n_iters = max(6, min(40, 40960 // batch))
                 t0 = time.time()

@@ -196,3 +196,40 @@ def test_sample_batch_observation_noise():
     assert np.abs(diff[airborne]).max() > 0.01
     if (~airborne).any():
         assert np.abs(diff[~airborne]).max() == 0.0
+
+
+@pytest.mark.slow
+def test_train_online_video_model_runs():
+    """End-to-end online VIDEO training: render -> CNN -> LSTM -> flow, one
+    jit program per step, loss finite and moving."""
+    from bcnf_tpu.models import CNN, LSTMFeatureNetwork
+
+    n_meta = 7
+    lstm_out = 24
+    stack = FeatureNetworkStack(
+        [
+            ConcatenateCondition(input_size=None, output_size=(20, 30)),
+            CNN(
+                hidden_channels=[4, 8], kernel_sizes=[3, 3], strides=[1, 1],
+                output_size_lin=16, output_size=16,
+                image_input_size=(20, 30), dropout_prob=0.0, num_CNN=2,
+            ),
+            LSTMFeatureNetwork(input_size=16, hidden_size=8, output_size=lstm_out, num_layers=1),
+            ConcatenateCondition(input_size=lstm_out, output_size=lstm_out + n_meta, dim=-1),
+        ]
+    )
+    model = CondRealNVP(
+        size=19, nested_sizes=[16], n_blocks=2, n_conditions=lstm_out + n_meta,
+        feature_network_stack=stack, act_norm=True, random_state=0,
+    )
+    sim = OnlineSimulator(
+        PRIOR, ParameterIndexMapping(PARAMS),
+        condition_groups=[["videos"], ["cam_radian", "cam_radius", "cam_angles", "cam_heights"]],
+        dt=0.1, T=0.5, ratio=(3, 2),
+    )
+    params = model.init(jax.random.key(0))
+    params, history = train_online(
+        model, params, sim, n_steps=3, batch_size=4, eval_every=3, eval_batches=1,
+    )
+    assert np.isfinite(history["train_loss"][-1][1])
+    assert np.isfinite(history["eval_nll"][-1][1])
