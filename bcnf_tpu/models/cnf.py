@@ -545,9 +545,11 @@ class CondRealNVP:
         # f32 accumulation. Set "default" to trade fidelity for MXU speed.
         self.precision = precision
         # Pallas fused whole-flow kernel for posterior sampling: ON by
-        # default since round 2 — it beats the XLA path at every precision
-        # tier (results/flow_kernel_bench.json) and falls back to XLA for
-        # any unsupported config/layout/precision automatically.
+        # default since round 2 — at equal accuracy class it beats the XLA
+        # path at every precision tier (round-4 results/flow_kernel_bench.json:
+        # f32 contract 514k vs 360k samples/s; the kernel's bf16x3 mode is
+        # f32-class at 3.8e-6 roundtrip while XLA's X3 algorithm is ~1e-3)
+        # and falls back to XLA for any unsupported config/layout/precision.
         self.use_pallas = use_pallas
         self.pallas_strict = pallas_strict
         # The per-coupling fused kernel (ops/coupling_kernel.py) loses to XLA
