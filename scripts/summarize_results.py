@@ -20,24 +20,32 @@ def _fmt(v: object) -> str:
     return str(v)
 
 
-def _count_errors(obj: object) -> int:
-    """Count error entries anywhere in a result artifact: a measurement dict
-    whose value is an {'error': ...} record, an explicit None, or a string
-    that looks like a traceback. A committed artifact with errors must never
-    be indexed as 'N measurements' (round-3 batch_sweep.json lesson)."""
-    n = 0
+def _count_errors(obj: object) -> tuple[int, int]:
+    """Count (error, null) entries anywhere in a result artifact. An
+    {'error': ...} record means a measurement FAILED (infra/crash) — the
+    artifact is broken and must not be indexed as 'N measurements'
+    (round-3 batch_sweep.json lesson). A None is a deliberately recorded
+    not-applicable/didn't-fit datapoint (e.g. a tuning sweep's OOM block
+    size) — informative, marked but not broken."""
+    n_err = n_null = 0
     if isinstance(obj, dict):
         for k, v in obj.items():
-            if k == "error" and v:
-                n += 1
+            # an error record carries a message string; numeric *_error keys
+            # are metrics (e.g. max_roundtrip_error)
+            if (k == "error" or k.endswith("_error")) and isinstance(v, str) and v:
+                n_err += 1
             else:
-                n += _count_errors(v)
+                e, u = _count_errors(v)
+                n_err += e
+                n_null += u
     elif isinstance(obj, list):
         for v in obj:
-            n += _count_errors(v)
+            e, u = _count_errors(v)
+            n_err += e
+            n_null += u
     elif obj is None:
-        n += 1
-    return n
+        n_null += 1
+    return n_err, n_null
 
 
 def main() -> None:
@@ -103,15 +111,17 @@ def main() -> None:
                 summary = f"{_fmt(d['train_samples_per_sec'])} train samples/s"
             elif keys and isinstance(d.get(keys[0]), dict):
                 inner = d[keys[0]]
-                n_err = _count_errors(inner)
-                n_ok = len(inner) - n_err
+                n_err, n_null = _count_errors(inner)
+                n_ok = len(inner) - n_err - n_null
                 summary = f"{n_ok} measurements ({', '.join(list(inner)[:4])}, ...)"
+                if n_null:
+                    summary += f" + {n_null} recorded as not-run/didn't-fit"
                 if n_err:
                     summary += f" — **{n_err} ERROR entries**"
                     broken.append(name)
             else:
                 summary = d.get("what", f"{len(d)} fields")[:90]
-                n_err = _count_errors(d)
+                n_err, _ = _count_errors(d)
                 if n_err:
                     summary += f" — **{n_err} ERROR entries**"
                     broken.append(name)
