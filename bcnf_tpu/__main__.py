@@ -50,6 +50,9 @@ def main(argv: list[str] | None = None) -> None:
                                    "by training.online: true in the config")
     train_parser.add_argument("--online-steps", type=int, default=None,
                               help="Step budget for --online (default: training.online_steps or 5000)")
+    train_parser.add_argument("--online-lr-decay", action="store_true",
+                              help="Cosine-decay the lr over the --online step budget "
+                                   "(also training.online_lr_decay: true)")
     train_parser.add_argument("--dp-devices", type=int, default=0,
                               help="Data-parallel over N devices (0 = single-device). "
                                    "Builds a 1-D mesh; params replicated, batch sharded, "
@@ -232,6 +235,8 @@ def _cmd_train(args: argparse.Namespace) -> None:
             n_steps=n_steps,
             batch_size=batch,
             lr=float(opt_kwargs.get("lr", 2e-4)),
+            lr_decay=bool(args.online_lr_decay
+                          or cfg["training"].get("online_lr_decay", False)),
             hybrid_weight=float(cfg["global"].get("hybrid_weight", 0) or 0),
             seed=args.seed or 0,
             sink=_MS(*sinks),

@@ -180,6 +180,7 @@ def train_online(
     n_steps: int = 1000,
     batch_size: int = 256,
     lr: float = 2e-4,
+    lr_decay: bool = False,
     max_grad_norm: float = 1.0,
     eval_every: int = 100,
     eval_batches: int = 4,
@@ -211,8 +212,14 @@ def train_online(
     restarts from the newest checkpoint — the step counter and PRNG key are
     restored, so a resumed run continues the exact data stream.
     """
+    # cosine lr decay over the step budget: the infinite-data regime has no
+    # validation plateau to drive ReduceLROnPlateau (the dataset trainer's
+    # scheduler), so convergence needs an explicit schedule — without it the
+    # flow stalls at the constant-lr noise floor well short of the posterior
+    # sharpness the dataset runs reach.
+    lr_fn = optax.cosine_decay_schedule(lr, max(n_steps, 1), alpha=0.02) if lr_decay else lr
     optimizer = optax.chain(
-        optax.clip_by_global_norm(max_grad_norm), optax.adam(lr)
+        optax.clip_by_global_norm(max_grad_norm), optax.adam(lr_fn)
     )
     loss_fn = loss_fn or inn_nll_loss
     n_cond = model.n_conditions

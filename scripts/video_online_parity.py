@@ -38,7 +38,9 @@ NAME = "videos_CNN_LSTM_large"
 def main() -> None:
     timeout = float(sys.argv[1]) if len(sys.argv) > 1 else 3000.0
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000  # timeout-bound
+    # ~1.1 s/step at batch 32 (render 0.74 s + step 0.37 s, renderer_bench +
+    # parity_videos r3); budget the cosine decay to the wall-clock
+    n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else max(int(timeout / 1.15), 500)
 
     from bcnf_tpu import CondRealNVP, load_config
     from bcnf_tpu.config import load_yaml
@@ -76,6 +78,7 @@ def main() -> None:
         n_steps=n_steps,
         batch_size=batch,
         lr=float(opt_kwargs.get("lr", 2e-4)),
+        lr_decay=True,
         seed=0,
         sink=StdoutSink(),
         timeout=timeout,
