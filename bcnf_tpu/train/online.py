@@ -141,7 +141,9 @@ class OnlineSimulator:
                 axis=-1,
             )
             data["cam_radian_array"] = cam_radians
-            videos, _ = _stage_render(
+            # __wrapped__: we are already inside a jit trace, and the
+            # wrapper's TPU compiler_options cannot apply on a nested jit
+            videos, _ = _stage_render.__wrapped__(
                 k_render, p, traj, cam_radians, self.num_cams, self.ratio,
                 self.fov_horizontal, self.renderer, self.legacy_cam_geometry,
             )
