@@ -226,6 +226,23 @@ def train_online(
     loss_fn = loss_fn or inn_nll_loss
     n_cond = model.n_conditions
 
+    # Glow-style data-dependent ActNorm init (SURVEY.md Q7), same guard as
+    # Trainer.train: only when scales are still at their 1.0 default (a
+    # resumed checkpoint overwrites params below anyway). Without this the
+    # online run spends thousands of steps just normalizing 26 blocks of
+    # activations — measured on videos_CNN_LSTM_large: +11 NLL at step 500
+    # from scale-1 vs the data-initialized Trainer's near-optimal start.
+    if (
+        hasattr(model, "init_actnorm")
+        and getattr(model, "actnorm", None) is not None
+        and isinstance(params, dict)
+        and "blocks" in params
+        and "actnorm" in params.get("blocks", {})
+        and bool(jnp.all(params["blocks"]["actnorm"]["scale"] == 1.0))
+    ):
+        y0, conds0 = simulator.sample_batch(jax.random.key(seed + 99), batch_size)
+        params = model.init_actnorm(params, y0, *conds0)
+
     def objective(params: Any, y: jnp.ndarray, conditions: tuple, rng: jax.Array) -> tuple:
         if n_cond > 0:
             z, log_det, h = model.forward(params, y, *conditions, rng=rng, train=True, return_features=True)

@@ -84,7 +84,7 @@ def main() -> None:
         timeout=timeout,
         eval_every=100,
         checkpoint_dir=os.path.expanduser(f"~/bcnf_models/ckpt_online_{NAME}"),
-        checkpoint_every=500,
+        checkpoint_every=250,
         resume=True,
     )
     steps_done = history["train_loss"][-1][0] if history["train_loss"] else 0
