@@ -21,5 +21,5 @@ def simple_2D_camera_observation(
     if noise:
         if key is None:
             raise ValueError("noise=True requires a PRNG key")
-        return gaussian_observation_noise(key, p)[..., [0, 2]]
+        return gaussian_observation_noise(key, p, std=std)[..., [0, 2]]
     return p[..., [0, 2]]
