@@ -414,7 +414,11 @@ def _cmd_eval(args: argparse.Namespace) -> None:
 
     from bcnf_tpu import CondRealNVP
     from bcnf_tpu.config import load_config
-    from bcnf_tpu.eval.calibration import compute_CDF_residuals, compute_y_hat_ranks
+    from bcnf_tpu.eval.calibration import (
+        compute_CDF_residuals,
+        compute_y_hat_ranks,
+        sidak_joint_band,
+    )
     from bcnf_tpu.plots import plot_cdf_residuals, plot_rank_histograms, plot_resimulation
     from bcnf_tpu.simulation.resimulation import impact_points, resimulate
     from bcnf_tpu.train.data import TrainerDataHandler
@@ -531,6 +535,23 @@ def _cmd_eval(args: argparse.Namespace) -> None:
         # 99% quantile of sup|Brownian bridge| (Kolmogorov distribution):
         # the pass bar for max_scaled_cdf_residual under perfect calibration
         "sup_band_99": 1.628,
+        # Sidak-corrected joint band over the non-degenerate dims actually
+        # tested (family-wise 99%: testing k dims each at per-dim 99% would
+        # give ~1-0.99^k family false-alarm rate) + per-dim verdicts, so the
+        # report is self-contained (VERDICT r4 demand #3)
+        "n_nondegenerate_dims": int((~degenerate).sum()),
+        "sup_band_99_joint": round(
+            sidak_joint_band(int((~degenerate).sum())), 4),
+        "calibration_pass_per_dim_band": bool(nondegen_max < 1.628),
+        "calibration_pass_joint_band": bool(
+            nondegen_max < sidak_joint_band(int((~degenerate).sum()))),
+        "calibration_verdict_by_dim": {
+            n: ("degenerate" if d else
+                ("pass" if v < 1.628 else
+                 ("pass_joint" if v < sidak_joint_band(int((~degenerate).sum()))
+                  else "fail")))
+            for n, v, d in zip(names, per_dim, degenerate)
+        },
         "posterior_width_by_dim": {
             n: round(float(v), 5) for n, v in zip(names, width)
         },

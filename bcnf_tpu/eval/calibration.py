@@ -28,6 +28,38 @@ def brownian_confidence_interval(t: np.ndarray) -> np.ndarray:
     return np.sqrt(t * (1 - t))
 
 
+def kolmogorov_quantile(q: float) -> float:
+    """Quantile of the Kolmogorov distribution — sup_t |B(t)| of a Brownian
+    bridge, the asymptotic law of the scaled CDF residual's sup. Solved by
+    bisection on the series CDF `1 - 2 sum_j (-1)^(j-1) exp(-2 j^2 x^2)`.
+    `kolmogorov_quantile(0.99) ~= 1.628`, the reference notebook's per-dim
+    99% band (reference `notebooks/calibration.ipynb` cells 21-24)."""
+    j = np.arange(1, 101, dtype=np.float64)
+
+    def cdf(x: float) -> float:
+        return float(1.0 - 2.0 * np.sum((-1.0) ** (j - 1) * np.exp(-2.0 * j**2 * x**2)))
+
+    lo, hi = 1e-6, 5.0
+    for _ in range(100):
+        mid = 0.5 * (lo + hi)
+        if cdf(mid) < q:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def sidak_joint_band(n_dims: int, family_confidence: float = 0.99) -> float:
+    """Multiple-comparison-corrected sup-residual band: the per-dimension
+    threshold such that, under perfect calibration and (Sidak-) independent
+    dimensions, ALL `n_dims` sup-residuals stay below it simultaneously with
+    probability `family_confidence`. Testing each of 16 dims at the per-dim
+    99% band yields a ~15% family-wise false-alarm rate; this band restores
+    the stated joint confidence (VERDICT r4 weak #5)."""
+    per_dim_conf = family_confidence ** (1.0 / max(int(n_dims), 1))
+    return kolmogorov_quantile(per_dim_conf)
+
+
 def compute_y_hat_ranks(
     model: Any,
     params: Any,

@@ -3,6 +3,10 @@
 
 Keeps the measurement story auditable — every number cited in
 README/PARITY/PERF should trace to a JSON this index lists.
+
+`--check` regenerates nothing: it exits non-zero if the committed
+results/README.md differs from what this script would write (doc-artifact
+drift gate, wired into the fast test tier via tests/test_cli.py).
 """
 
 from __future__ import annotations
@@ -48,7 +52,8 @@ def _count_errors(obj: object) -> tuple[int, int]:
     return n_err, n_null
 
 
-def main() -> None:
+def render() -> tuple[str, dict]:
+    """Build the README.md content; returns (text, stats)."""
     lines = [
         "# Results index",
         "",
@@ -100,10 +105,10 @@ def main() -> None:
             )
         lines.append("")
 
+    broken = []
     if benches:
         lines += ["## Benchmarks & measurements", "",
                   "| artifact | summary |", "|---|---|"]
-        broken = []
         for name, d in benches:
             keys = [k for k in ("train_samples_per_sec", "results", "samples_per_s",
                                 "rows_per_s", "what") if k in d]
@@ -130,14 +135,45 @@ def main() -> None:
         if broken:
             lines += [f"**BROKEN ARTIFACTS (re-measure before citing):** "
                       f"{', '.join(f'`{b}`' for b in broken)}", ""]
-            print(f"ERROR: {len(broken)} artifact(s) contain error entries: "
-                  f"{', '.join(broken)}", file=sys.stderr)
 
+    stats = {"parity": len(parity), "evals": len(evals), "benches": len(benches),
+             "broken": broken}
+    return "\n".join(lines), stats
+
+
+def main() -> int:
+    text, stats = render()
     out = os.path.join(RESULTS, "README.md")
+
+    if "--check" in sys.argv:
+        committed = open(out).read() if os.path.exists(out) else ""
+        if committed != text:
+            import difflib
+            diff = list(difflib.unified_diff(
+                committed.splitlines(), text.splitlines(),
+                fromfile="results/README.md (committed)",
+                tofile="results/README.md (regenerated)", lineterm=""))
+            print("\n".join(diff[:60]), file=sys.stderr)
+            print("ERROR: results/README.md is stale vs the committed artifacts — "
+                  "run `python scripts/summarize_results.py`", file=sys.stderr)
+            return 1
+        print(f"results/README.md is current ({stats['parity']} parity, "
+              f"{stats['evals']} evals, {stats['benches']} benches)")
+        if stats["broken"]:
+            print(f"ERROR: broken artifacts present: {', '.join(stats['broken'])}",
+                  file=sys.stderr)
+            return 2
+        return 0
+
     with open(out, "w") as f:
-        f.write("\n".join(lines))
-    print(f"wrote {out} ({len(parity)} parity, {len(evals)} evals, {len(benches)} benches)")
+        f.write(text)
+    print(f"wrote {out} ({stats['parity']} parity, {stats['evals']} evals, "
+          f"{stats['benches']} benches)")
+    if stats["broken"]:
+        print(f"ERROR: {len(stats['broken'])} artifact(s) contain error entries: "
+              f"{', '.join(stats['broken'])}", file=sys.stderr)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

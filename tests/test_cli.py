@@ -256,3 +256,22 @@ def test_cli_eval_video_model_resimulates(tiny_video_config, tmp_path):
     # resimulation ran (the regression would KeyError before reaching here)
     assert "impact_median_dist" in report
     assert os.path.exists(os.path.join(out_dir, "resimulation.png"))
+
+
+def test_results_index_is_current():
+    """Doc-artifact drift gate (VERDICT r4 demand #2): the committed
+    results/README.md must match what `scripts/summarize_results.py` would
+    regenerate from the artifacts on disk. Exit 1 = stale index (the
+    round-2/3/4 failure mode); exit 2 = index current but broken artifacts
+    present (caught separately by their own regeneration demand)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "summarize_results.py"),
+         "--check"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert proc.returncode != 1, (
+        "results/README.md is stale vs the committed artifacts:\n" + proc.stderr
+    )

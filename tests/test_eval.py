@@ -1,6 +1,7 @@
 """Calibration math, CV fold logic, plots, and impact extraction (host-only)."""
 
 import numpy as np
+import pytest
 
 from bcnf_tpu.eval.calibration import (
     CDF,
@@ -37,6 +38,22 @@ def test_brownian_band_shape():
     band = brownian_confidence_interval(t)
     assert band[0] == 0 and band[-1] == 0
     assert band.max() == band[5]
+
+
+def test_kolmogorov_quantile_and_joint_band():
+    """The per-dim 99% sup-band must reproduce the reference notebook's
+    1.628 (reference `notebooks/calibration.ipynb` cells 21-24); the
+    Sidak-corrected joint band must widen monotonically with the number of
+    dimensions tested and equal the per-dim band at k=1."""
+    from bcnf_tpu.eval.calibration import kolmogorov_quantile, sidak_joint_band
+
+    assert kolmogorov_quantile(0.99) == pytest.approx(1.628, abs=1e-3)
+    # classic KS values as cross-checks
+    assert kolmogorov_quantile(0.95) == pytest.approx(1.358, abs=1e-3)
+    assert sidak_joint_band(1) == pytest.approx(1.628, abs=1e-3)
+    bands = [sidak_joint_band(k) for k in (1, 4, 13, 16)]
+    assert all(b2 > b1 for b1, b2 in zip(bands, bands[1:]))
+    assert sidak_joint_band(16) == pytest.approx(2.008, abs=2e-3)
 
 
 def test_rank_histogram_counts():
