@@ -69,7 +69,8 @@ BATCH = 4096       # headline (throughput-optimal, round-1 sweep)
 BATCH_REF = 256    # reference protocol batch (secondary)
 SEQ = 30
 COMPILE_SANE_S = 120.0  # healthy compiles are 14-25 s (docs/PERF.md)
-TIMING_WINDOWS = 3      # throughput = best window (tunnel-hiccup defense)
+TIMING_WINDOWS = 5      # throughput = best window (tunnel-hiccup defense);
+                        # per-window values are recorded in the JSON
 
 
 def _ready(x) -> None:
@@ -146,18 +147,22 @@ def main() -> None:
             raise RuntimeError(f"batch {batch}: compile failed 3 times")
         extra[f"b{batch}_compile_first_s"] = round(compile_s, 1)
 
-        best_sps = 0.0
-        best_steps = 0.0
+        windows = []
         for _ in range(TIMING_WINDOWS):
             t0 = time.time()
             for _ in range(n_iters):
                 params, opt_state, loss = step(params, opt_state, y, traj)
             _ready(loss)
             dt = time.time() - t0
-            if n_iters * batch / dt > best_sps:
-                best_sps = n_iters * batch / dt
-                best_steps = n_iters / dt
-        return best_steps, best_sps
+            windows.append(n_iters * batch / dt)
+        # per-window throughput goes into the JSON so tunnel variance is
+        # visible in the recorded artifact (VERDICT r4 demand #4), not just
+        # absorbed by best-of-N
+        extra[f"b{batch}_window_sps"] = [round(w, 1) for w in windows]
+        extra[f"b{batch}_window_spread_pct"] = round(
+            100.0 * (max(windows) - min(windows)) / max(windows), 1)
+        best_sps = max(windows)
+        return best_sps / batch, best_sps
 
     steps_ref, sps_ref = measure(BATCH_REF, 30)
     extra["b256_samples_per_sec"] = round(sps_ref, 1)
