@@ -70,6 +70,15 @@ def main() -> None:
     with open(os.path.join(args.hpo_dir, "top_points.json"), "w") as f:
         json.dump(rows, f, indent=2)
 
+    # full evaluated-points table, mirroring the reference's committed
+    # search-stage CSVs (reference `results/hyperparameters/stage_1.csv`)
+    out_csv = os.path.join(args.hpo_dir, "points.csv")
+    with open(out_csv, "w") as f:
+        f.write(",".join(["iteration", *PARAM_NAMES, "cv_val_loss"]) + "\n")
+        for i, (x, v) in enumerate(zip(x_iters, func_vals)):
+            f.write(",".join([str(i), *[repr(c) for c in x], repr(float(v))]) + "\n")
+    print(f"wrote {out_csv} ({n} rows)")
+
 
 if __name__ == "__main__":
     main()
