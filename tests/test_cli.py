@@ -162,6 +162,16 @@ def test_cli_eval_report(tiny_config, tmp_path):
     assert report["max_scaled_cdf_residual_all_dims"] >= report["max_scaled_cdf_residual"]
     for k in ("posterior_width_by_dim", "posterior_bias_by_dim", "data_spread_by_dim"):
         assert len(report[k]) == 19
+    # joint-band fields: self-contained multiplicity-corrected verdicts
+    assert report["n_nondegenerate_dims"] == 16
+    assert report["sup_band_99_joint"] == pytest.approx(2.008, abs=2e-3)
+    assert report["sup_band_99_joint"] > report["sup_band_99"]
+    verdicts = report["calibration_verdict_by_dim"]
+    assert len(verdicts) == 19
+    assert all(verdicts[k] == "degenerate" for k in report["degenerate_dims"])
+    assert set(verdicts.values()) <= {"pass", "pass_joint", "fail", "degenerate"}
+    assert report["calibration_pass_joint_band"] == (
+        report["max_scaled_cdf_residual"] < report["sup_band_99_joint"])
     # robust impact metrics (median + clipped RMSE), never a bare inf-prone RMSE
     assert "impact_median_dist" in report
     assert "impact_rmse_within_42m" in report
