@@ -85,13 +85,19 @@ def main() -> None:
         print(f"grad B={B}: scan {dt_s*1e6:8.1f}us  fused {dt_k*1e6:8.1f}us  "
               f"{dt_s/dt_k:.2f}x")
 
-    # numeric check at the largest batch
-    x = jax.random.normal(jax.random.key(1), (1024, T, F))
-    ref = _direction_scan(params, x, H, False)
-    out = fused_direction(params, x, H, False)
-    err = float(jnp.abs(out - ref).max())
-    results["max_abs_err"] = err
-    print(f"max |dh|: {err:.2e}")
+    # numeric check (fused vs scan) at a batch where the fused fwd runs
+    try:
+        x = jax.random.normal(jax.random.key(1), (1024, T, F))
+        ref = np.asarray(_direction_scan(params, x, H, False))
+        out = np.asarray(fused_direction(params, x, H, False))
+        results["max_abs_err"] = float(np.abs(out - ref).max())
+        results["mean_abs_err"] = float(np.abs(out - ref).mean())
+        results["ref_abs_mean"] = float(np.abs(ref).mean())
+        print(f"max |dh|: {results['max_abs_err']:.2e} "
+              f"(mean {results['mean_abs_err']:.2e}, |ref| {results['ref_abs_mean']:.2e})")
+    except Exception as e:  # noqa: BLE001 - never write a placeholder zero
+        results["max_abs_err_error"] = f"{type(e).__name__}: {str(e)[:180]}"
+        print(f"numeric check FAILED: {type(e).__name__}")
 
     os.makedirs("results", exist_ok=True)
     with open("results/lstm_kernel_bench.json", "w") as f:
