@@ -62,13 +62,16 @@ def render() -> tuple[str, dict]:
         "",
     ]
 
-    parity, evals, benches = [], [], []
+    parity, evals, benches, hpo = [], [], [], []
     for name in sorted(os.listdir(RESULTS)):
         path = os.path.join(RESULTS, name)
         if os.path.isdir(path):
             rp = os.path.join(path, "report.json")
+            hp = os.path.join(path, "best.json")
             if os.path.exists(rp):
                 evals.append((name, json.load(open(rp))))
+            elif os.path.exists(hp):
+                hpo.append((name, json.load(open(hp))))
             continue
         if not name.endswith(".json"):
             continue
@@ -105,6 +108,19 @@ def render() -> tuple[str, dict]:
             )
         lines.append("")
 
+    if hpo:
+        lines += ["## Hyperparameter searches (`bcnf-tpu hpo`)", "",
+                  "| artifact | evaluations | best CV val loss | best point |",
+                  "|---|---|---|---|"]
+        for name, d in hpo:
+            best = d.get("best_params", {})
+            best_str = ", ".join(f"{k}={_fmt(v)}" for k, v in best.items())
+            lines.append(
+                f"| `{name}/` | {d.get('n_evaluations', '—')} | "
+                f"{_fmt(d.get('best_val_loss'))} | {best_str} |"
+            )
+        lines.append("")
+
     broken = []
     if benches:
         lines += ["## Benchmarks & measurements", "",
@@ -137,7 +153,7 @@ def render() -> tuple[str, dict]:
                       f"{', '.join(f'`{b}`' for b in broken)}", ""]
 
     stats = {"parity": len(parity), "evals": len(evals), "benches": len(benches),
-             "broken": broken}
+             "hpo": len(hpo), "broken": broken}
     return "\n".join(lines), stats
 
 
