@@ -126,6 +126,10 @@ def main(argv: list[str] | None = None) -> None:
     hpo_parser.add_argument("--n-epochs", type=int, default=60)
     hpo_parser.add_argument("--n-samples", type=int, default=1000)
     hpo_parser.add_argument("--seed", type=int, default=0)
+    hpo_parser.add_argument("--space", type=str, default=None,
+                            help="JSON dict of {dim: [low, high]} overrides for the search "
+                                 "space (stage-2 refinement around stage-1's best points), "
+                                 'e.g. \'{"n_blocks": [16, 32], "lr": [1e-3, 3e-3]}\'')
 
     args = parser.parse_args(argv)
 
@@ -306,6 +310,7 @@ def _cmd_hpo(args: argparse.Namespace) -> None:
         n_calls=args.n_calls, n_initial_points=args.n_initial_points,
         n_splits=args.n_splits, n_epochs=args.n_epochs,
         n_samples=args.n_samples, seed=args.seed,
+        space_bounds=json.loads(args.space) if args.space else None,
     )
     print(json.dumps(summary, indent=2, default=float))
 

@@ -36,6 +36,7 @@ def run_hpo(
     batch_size: int = 128,
     seed: int = 0,
     parameter_names: Sequence[str] | None = None,
+    space_bounds: dict[str, Sequence[float]] | None = None,
     verbose: bool = True,
 ) -> dict[str, Any]:
     """GP-optimize the flow architecture on `data_path`; returns the best
@@ -59,13 +60,25 @@ def run_hpo(
 
     # The reference's stage-1 search-space shape
     # (reference results/hyperparameters/stage_1.csv columns).
+    # `space_bounds` overrides {name: (low, high)} per dimension — the
+    # stage-2 refinement pattern (reference results/hyperparameters/
+    # stage_2.csv narrows around stage-1's best points).
+    defaults = {
+        "n_blocks": (6, 32), "nested_width": (16, 256),
+        "n_nested_layers": (2, 6), "n_conditions": (32, 256),
+        "lr": (1e-4, 3e-3), "dropout": (0.0, 0.5),
+    }
+    b = {**defaults, **(space_bounds or {})}
+    unknown = set(b) - set(defaults)
+    if unknown:
+        raise ValueError(f"unknown space dimensions: {sorted(unknown)}")
     space = [
-        Integer(6, 32, name="n_blocks"),
-        Integer(16, 256, name="nested_width"),
-        Integer(2, 6, name="n_nested_layers"),
-        Integer(32, 256, name="n_conditions"),
-        Real(1e-4, 3e-3, prior="log-uniform", name="lr"),
-        Real(0.0, 0.5, name="dropout"),
+        Integer(int(b["n_blocks"][0]), int(b["n_blocks"][1]), name="n_blocks"),
+        Integer(int(b["nested_width"][0]), int(b["nested_width"][1]), name="nested_width"),
+        Integer(int(b["n_nested_layers"][0]), int(b["n_nested_layers"][1]), name="n_nested_layers"),
+        Integer(int(b["n_conditions"][0]), int(b["n_conditions"][1]), name="n_conditions"),
+        Real(float(b["lr"][0]), float(b["lr"][1]), prior="log-uniform", name="lr"),
+        Real(float(b["dropout"][0]), float(b["dropout"][1]), name="dropout"),
     ]
 
     def objective(x: list) -> float:

@@ -133,6 +133,24 @@ def test_cli_hpo_smoke(tiny_config, tmp_path):
     with open(os.path.join(out_dir, "best.json")) as f:
         assert json.load(f)["n_evaluations"] >= 3
 
+    # stage-2 refinement: --space narrows the search bounds; every evaluated
+    # point must respect them
+    out2 = str(tmp_path / "hpo2")
+    main(["hpo", "-d", os.path.join(d, "data"), "-o", out2,
+          "--n-calls", "2", "--n-initial-points", "2",
+          "--n-splits", "2", "--n-epochs", "2", "--n-samples", "64",
+          "--space", json.dumps({"n_blocks": [3, 4], "nested_width": [8, 12]})])
+    from bcnf_tpu.hpo.gp_minimize import load_checkpoint
+    state = load_checkpoint(os.path.join(out2, "hpo_checkpoint.pkl"))
+    for x in state["x_iters"]:
+        assert 3 <= x[0] <= 4 and 8 <= x[1] <= 12
+
+    with pytest.raises(ValueError, match="unknown space dimensions"):
+        from bcnf_tpu.hpo.driver import run_hpo
+        run_hpo(os.path.join(d, "data"), str(tmp_path / "hpo3"),
+                n_calls=1, n_initial_points=1, n_splits=2, n_epochs=1,
+                n_samples=32, space_bounds={"bogus": (0, 1)})
+
 
 @pytest.mark.slow
 def test_cli_eval_report(tiny_config, tmp_path):
