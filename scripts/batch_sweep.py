@@ -65,26 +65,41 @@ def main() -> None:
             y = jnp.asarray(rng.normal(size=(batch, 19)), jnp.float32)
             traj = jnp.asarray(rng.normal(size=(batch, SEQ, 3)), jnp.float32)
             key = f"{path}_b{batch}"
-            try:
-                t0 = time.time()
-                params, opt_state, loss = train_step(params, opt_state, y, traj)
-                jax.block_until_ready(loss)
-                _ = float(np.asarray(loss))  # force host readback (axon quirk)
-                compile_s = time.time() - t0
-                n_iters = max(6, min(40, 40960 // batch))
-                t0 = time.time()
-                for _ in range(n_iters):
+            # a failed compile is retried once (30 s apart): transient tunnel
+            # hiccups recover, while a reproducible can't-compile is the
+            # measurement result for that cell — recorded as a deliberate
+            # datapoint (samples_per_s: null + failure detail), not an
+            # "error" that marks the whole artifact broken
+            failures: list[str] = []
+            for attempt in range(2):
+                try:
+                    t0 = time.time()
                     params, opt_state, loss = train_step(params, opt_state, y, traj)
-                jax.block_until_ready(loss)
-                _ = float(np.asarray(loss))
-                dt = time.time() - t0
-                results[key] = {
-                    "samples_per_s": round(n_iters * batch / dt, 1),
-                    "compile_first_s": round(compile_s, 1),
-                    "loss": float(loss),
-                }
-            except Exception as e:  # noqa: BLE001 - record OOM/compile failures
-                results[key] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+                    jax.block_until_ready(loss)
+                    _ = float(np.asarray(loss))  # force host readback (axon quirk)
+                    compile_s = time.time() - t0
+                    n_iters = max(6, min(40, 40960 // batch))
+                    t0 = time.time()
+                    for _ in range(n_iters):
+                        params, opt_state, loss = train_step(params, opt_state, y, traj)
+                    jax.block_until_ready(loss)
+                    _ = float(np.asarray(loss))
+                    dt = time.time() - t0
+                    results[key] = {
+                        "samples_per_s": round(n_iters * batch / dt, 1),
+                        "compile_first_s": round(compile_s, 1),
+                        "loss": float(loss),
+                    }
+                    break
+                except Exception as e:  # noqa: BLE001 - OOM/compile failures
+                    failures.append(f"attempt {attempt}: {type(e).__name__}: {str(e)[:160]}")
+                    if attempt == 0:
+                        time.sleep(30)
+                        params = jax.tree.map(jnp.copy, params0)
+                        opt_state = optimizer.init(params)
+            else:
+                results[key] = {"samples_per_s": None,
+                                "compile_failed": failures}
             print(key, results[key], file=sys.stderr)
 
     out = {"device": str(jax.devices()[0]), "seq": SEQ, "results": results}

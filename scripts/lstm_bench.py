@@ -41,6 +41,27 @@ def bench(fn, *args, reps=20):
     return (time.perf_counter() - t0) / reps
 
 
+def bench_fused(fn, *args):
+    """Bench the kernel under test, retrying a failed compile once (30 s
+    apart) to separate transient tunnel hiccups from reproducible
+    program-specific failures. Returns (dt, None) or (None, failure) where
+    `failure` is a structured record of both attempts — a reproducible
+    can't-compile IS the measurement result for that cell, recorded as a
+    deliberate datapoint (fused_us: null), not a broken artifact."""
+    errors = []
+    for attempt in range(2):
+        try:
+            return bench(fn, *args), None
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"attempt {attempt}: {type(e).__name__}: {str(e)[:160]}")
+            print(f"  fused compile failed ({type(e).__name__}), "
+                  f"{'retrying in 30 s' if attempt == 0 else 'reproducible'}",
+                  file=sys.stderr)
+            if attempt == 0:
+                time.sleep(30)
+    return None, errors
+
+
 def main() -> None:
     results = {}
     params = lstm_cell_init(jax.random.key(0), F, H)
@@ -50,13 +71,11 @@ def main() -> None:
         scan_f = jax.jit(lambda p, x: _direction_scan(p, x, H, False))
         fused_f = jax.jit(lambda p, x: fused_direction(p, x, H, False))
         dt_s = bench(scan_f, params, x)
-        try:
-            dt_k = bench(fused_f, params, x)
-        except Exception as e:  # noqa: BLE001
-            results[f"fwd_B{B}"] = {"scan_us": dt_s * 1e6,
-                                    "fused_error": f"{type(e).__name__}: {str(e)[:180]}"}
-            print(f"fwd  B={B}: scan {dt_s*1e6:8.1f}us  fused FAILED "
-                  f"({type(e).__name__})")
+        dt_k, failure = bench_fused(fused_f, params, x)
+        if failure is not None:
+            results[f"fwd_B{B}"] = {"scan_us": dt_s * 1e6, "fused_us": None,
+                                    "fused_compile_failed": failure}
+            print(f"fwd  B={B}: scan {dt_s*1e6:8.1f}us  fused CANNOT COMPILE")
             continue
         results[f"fwd_B{B}"] = {"scan_us": dt_s * 1e6, "fused_us": dt_k * 1e6,
                                 "speedup": dt_s / dt_k}
@@ -72,13 +91,11 @@ def main() -> None:
         gs = jax.jit(jax.grad(loss_scan))
         gk = jax.jit(jax.grad(loss_fused))
         dt_s = bench(gs, params, x)
-        try:
-            dt_k = bench(gk, params, x)
-        except Exception as e:  # noqa: BLE001 - record kernel OOM/compile failure
-            results[f"grad_B{B}"] = {"scan_us": dt_s * 1e6,
-                                     "fused_error": f"{type(e).__name__}: {str(e)[:180]}"}
-            print(f"grad B={B}: scan {dt_s*1e6:8.1f}us  fused FAILED "
-                  f"({type(e).__name__})")
+        dt_k, failure = bench_fused(gk, params, x)
+        if failure is not None:
+            results[f"grad_B{B}"] = {"scan_us": dt_s * 1e6, "fused_us": None,
+                                     "fused_compile_failed": failure}
+            print(f"grad B={B}: scan {dt_s*1e6:8.1f}us  fused CANNOT COMPILE")
             continue
         results[f"grad_B{B}"] = {"scan_us": dt_s * 1e6, "fused_us": dt_k * 1e6,
                                  "speedup": dt_s / dt_k}
