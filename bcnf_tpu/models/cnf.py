@@ -985,14 +985,17 @@ class CondRealNVP:
         return kargs, h_proj
 
     # Minimum batch size for the fused whole-flow *training* kernel.
-    # Measured on 1x v5e (results/flow_kernel_bench.json): the fused train
-    # step loses to XLA at batch 256 (14.7k vs 14.9k samples/s) and wins at
-    # batch 4096 (+12%); its Mosaic backward kernel also costs ~234 s of
-    # compile at batch 256 (BENCH_r02) vs ~14 s for the XLA path. Small
-    # batches therefore take the XLA path. Override per-model via the
-    # `fused_train_min_batch` attribute or globally via the
-    # BCNF_FUSED_TRAIN_MIN_BATCH env var.
-    fused_train_min_batch: int = 2048
+    # Measured on 1x v5e. Round 2 (results/flow_kernel_bench.json) put the
+    # crossover at ~2048: the fused step lost to XLA at batch 256 (14.7k vs
+    # 14.9k samples/s) with a ~234 s Mosaic backward compile. Round 5's two
+    # independent sweeps (results/batch_sweep.json) show the fused path now
+    # winning at EVERY batch on the current toolchain — b256 20.6/20.7k vs
+    # XLA 19.1/19.2k (+8%), b4096 36.6/36.8k vs 32.1/32.2k (+14%), b8192
+    # 38.2/38.3k where XLA reproducibly fails to compile — with fused
+    # compiles at 15-21 s. The measured gate therefore opens at 256.
+    # Override per-model via the `fused_train_min_batch` attribute or
+    # globally via the BCNF_FUSED_TRAIN_MIN_BATCH env var.
+    fused_train_min_batch: int = 256
 
     def _use_fused_train(self, train: bool, batch: int | None = None) -> bool:
         """Fused training-step gate: same structural requirements as

@@ -172,6 +172,15 @@ def main() -> None:
     extra["b4096_samples_per_sec"] = round(samples_per_sec, 1)
     print(f"batch {BATCH}: {samples_per_sec:,.0f} train samples/s "
           f"({steps_big:.1f} steps/s)", file=sys.stderr)
+    # batch 8192 rides the fused train kernel (the XLA path reproducibly
+    # fails to compile at 8192 — results/batch_sweep.json); secondary metric
+    try:
+        _, sps_8k = measure(8192, 6)
+        extra["b8192_samples_per_sec"] = round(sps_8k, 1)
+        print(f"batch 8192: {sps_8k:,.0f} train samples/s", file=sys.stderr)
+    except RuntimeError as e:  # secondary: never sink the headline
+        extra["b8192_error"] = str(e)[:200]
+        print(f"batch 8192 failed: {str(e)[:200]}", file=sys.stderr)
 
     # posterior sampling throughput (secondary) at the reference calibration
     # protocol: M=10,000 draws per test point
