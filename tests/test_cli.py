@@ -303,3 +303,7 @@ def test_results_index_is_current():
     assert proc.returncode != 1, (
         "results/README.md is stale vs the committed artifacts:\n" + proc.stderr
     )
+    assert proc.returncode == 0, (
+        "broken measurement artifacts present (regenerate before citing):\n"
+        + proc.stderr
+    )
