@@ -31,7 +31,6 @@ WORKER = textwrap.dedent("""
     os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
     import jax
-import pytest
     jax.config.update("jax_platforms", "cpu")
     coordinator, pid = sys.argv[1], int(sys.argv[2])
     jax.distributed.initialize(coordinator_address=coordinator,
